@@ -1,0 +1,199 @@
+"""Two-phase tile culling — the TPU-native analog of R-tree/BVH pruning.
+
+The reference prunes per-query with trees (`rtree.rs:96-126`,
+`bvh_ext.rs:59-168`). On TPU the equivalent is *coarse-to-fine tiling*:
+
+Phase A (coarse): compute, for each spatial tile of queries/cells, the exact
+min distance D from the tile center to all triangles (cheap: #tiles ≪ #queries).
+Any triangle that can win for some point in a tile of half-diagonal r must
+satisfy ``dist(center, tri) ≤ D + 2r`` (triangle-inequality bound). Select the
+top-K nearest triangles per tile.
+
+Phase B (fine): exact dense min over only the K candidates per tile.
+
+Exactness: guaranteed when all triangles within the bound fit in K; the
+selection records a per-tile ``overflow`` flag (k-th candidate still inside the
+bound) so callers can widen K or fall back. This mirrors the reference's own
+pragmatism (its Rtree sign is allowed ~1% mismatch, `rtree.rs:171-242`).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..grid import Grid
+from ..types import F32_MAX, SignMethod
+from . import brute, geometry
+from .keyed import combine_champions
+
+#: Default candidate budget per tile.
+DEFAULT_K = 512
+
+
+def select_candidates(tile_centers, tile_radius, ta, tb, tc, valid, k):
+    """Phase A: top-k nearest triangles per tile + overflow flag.
+
+    tile_centers: (Nt, 3); tile_radius: scalar or (Nt,). Returns
+    (idx (Nt, k) int32, overflow (Nt,) bool).
+    """
+    d = geometry.point_triangle_distance(
+        tile_centers[:, None, :], ta[None, :, :], tb[None, :, :], tc[None, :, :]
+    )
+    d = jnp.where(valid[None, :], d, F32_MAX)
+    neg_d, idx = jax.lax.top_k(-d, k)  # k smallest distances
+    kth = -neg_d[:, -1]
+    dmin = -neg_d[:, 0]
+    bound = dmin + 2.0 * tile_radius
+    n_valid = jnp.sum(valid)
+    overflow = (kth <= bound) & (n_valid > k)
+    return idx.astype(jnp.int32), overflow
+
+
+def query_sdf_culled(queries, ta, tb, tc, valid, *, sign_method, raycast_axes=3,
+                     k: int = DEFAULT_K, tile: int = 1024):
+    """generate_sdf with Morton-ordered query tiling + candidate culling.
+
+    Current revision: falls back to the fused brute engine when the triangle
+    count is within ~2x of k (culling overhead wouldn't pay). Raycast parity
+    always sweeps all triangles (a far triangle still crosses a ray) but at
+    per-query cost identical to the brute path; distance uses candidates.
+    """
+    T = ta.shape[0]
+    if T <= 2 * k:
+        return brute.sdf_brute(
+            queries, ta, tb, tc, valid,
+            sign_method=sign_method,
+            raycast_axes=raycast_axes if sign_method == SignMethod.RAYCAST else 0,
+        )
+    return _query_culled_impl(
+        queries, ta, tb, tc, valid,
+        sign_method=sign_method, raycast_axes=raycast_axes, k=k, tile=tile,
+    )
+
+
+# ---------------------------------------------------------------- internals
+def _morton_order(points):
+    """Sort order by 21-bit-per-axis Morton code (spatial coherence for tiles)."""
+    p = points
+    lo = jnp.min(p, axis=0)
+    hi = jnp.max(p, axis=0)
+    scale = jnp.where(hi > lo, 1024.0 / (hi - lo), 0.0)
+    q = jnp.clip(((p - lo) * scale), 0, 1023).astype(jnp.uint32)
+
+    def spread(x):  # interleave 10 bits with 2-bit gaps
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    return jnp.argsort(code)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sign_method", "raycast_axes", "k", "tile")
+)
+def _query_culled_impl(queries, ta, tb, tc, valid, *, sign_method, raycast_axes,
+                       k, tile):
+    Q = queries.shape[0]
+    order = _morton_order(queries)
+    q_sorted = queries[order]
+
+    pad = (-Q) % tile
+    q_pad = jnp.pad(q_sorted, ((0, pad), (0, 0)))
+    n_tiles = q_pad.shape[0] // tile
+    q_tiles = q_pad.reshape(n_tiles, tile, 3)
+
+    centers = (jnp.max(q_tiles, axis=1) + jnp.min(q_tiles, axis=1)) * 0.5
+    radius = jnp.linalg.norm(
+        (jnp.max(q_tiles, axis=1) - jnp.min(q_tiles, axis=1)) * 0.5, axis=-1
+    )
+
+    idx, overflow = select_candidates(centers, radius, ta, tb, tc, valid, k)
+
+    def tile_body(args):
+        qt, cand = args
+        a = ta[cand]
+        b = tb[cand]
+        c = tc[cand]
+        v = valid[cand]
+        if sign_method == SignMethod.NORMAL:
+            sd = geometry.point_triangle_signed_distance(
+                qt[:, None, :], a[None], b[None], c[None]
+            )
+            neg = jnp.signbit(sd)
+            minpos = jnp.min(jnp.where(v[None] & ~neg, sd, F32_MAX), axis=1)
+            minneg = jnp.min(jnp.where(v[None] & neg, -sd, F32_MAX), axis=1)
+            return combine_champions(minpos, minneg)
+        d = geometry.point_triangle_distance(qt[:, None, :], a[None], b[None], c[None])
+        return jnp.min(jnp.where(v[None], d, F32_MAX), axis=1)
+
+    dist = jax.lax.map(tile_body, (q_tiles, idx)).reshape(-1)[: Q]
+
+    if sign_method == SignMethod.RAYCAST:
+        # Parity needs ALL triangles — reuse the brute engine's ray counting
+        # at distance-free cost (unsigned distance already known).
+        counts = _ray_parity_counts(q_sorted, ta, tb, tc, valid, raycast_axes)
+        odd = counts % 2 == 1
+        if raycast_axes == 1:
+            inside = odd[:, 0]
+        else:
+            inside = jnp.sum(odd, axis=1) >= 2
+        dist = jnp.where(inside, -dist, dist)
+
+    # Undo the Morton sort.
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(Q))
+    return dist[inv]
+
+
+def _ray_parity_counts(queries, ta, tb, tc, valid, raycast_axes,
+                       tri_block=512, chunk=2048):
+    Q = queries.shape[0]
+    pad = (-Q) % chunk
+    qp = jnp.pad(queries, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+    n_blocks = ta.shape[0] // tri_block
+    blocks = jax.tree.map(
+        lambda x: x.reshape((n_blocks, tri_block) + x.shape[1:]),
+        (ta, tb, tc, valid),
+    )
+
+    def chunk_body(qc):
+        def body(counts, blk):
+            a, b, c, v = blk
+            hits = []
+            for axis in range(raycast_axes):
+                hit, _ = geometry.ray_triangle_aligned(
+                    qc[:, None, :], a[None], b[None], c[None], axis
+                )
+                hits.append(hit)
+            h = jnp.stack(hits, axis=-1) & v[None, :, None]
+            return counts + jnp.sum(h, axis=1, dtype=jnp.int32), None
+
+        init = jnp.zeros((chunk, raycast_axes), jnp.int32)
+        counts, _ = jax.lax.scan(body, init, blocks)
+        return counts
+
+    return jax.lax.map(chunk_body, qp).reshape(-1, raycast_axes)[:Q]
+
+
+def grid_distance_culled(grid: Grid, ta, tb, tc, valid, *, sign,
+                         k: int = DEFAULT_K):
+    """Grid unsigned/normal-signed distances via per-tile culling.
+
+    Current revision: delegates to the fused brute engine; the tiled Pallas
+    candidate kernel lands with ops/kernels. (Sign handled by caller.)
+    """
+    centers = grid.all_cell_centers().reshape(-1, 3)
+    N = centers.shape[0]
+    chunk = min(brute.DEFAULT_QUERY_CHUNK, N)
+    pad = (-N) % chunk
+    if pad:
+        centers = jnp.pad(centers, ((0, pad), (0, 0)))
+    dist = brute.sdf_brute(
+        centers, ta, tb, tc, valid,
+        sign_method=sign, raycast_axes=0, query_chunk=chunk,
+    )[:N]
+    return dist.reshape(grid.cell_count)

@@ -1,0 +1,102 @@
+"""`generate_sdf` — signed distances at arbitrary query points.
+
+Capability parity with the reference entry point (`mesh_to_sdf/src/lib.rs:291-311`),
+re-designed TPU-first: the acceleration-structure dispatch becomes kernel
+strategy selection (see :class:`mesh_to_sdf_tpu.types.Strategy`).
+"""
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .topology import Topology, as_points, gather_triangle_vertices
+from .types import AccelerationMethod, SignMethod, Strategy
+from .ops import brute
+
+
+def _resolve(acceleration, sign_method):
+    if isinstance(acceleration, AccelerationMethod):
+        return acceleration.strategy, acceleration.sign_method
+    if acceleration is None:
+        acceleration = Strategy.AUTO
+    if sign_method is None:
+        sign_method = SignMethod.RAYCAST
+    return acceleration, sign_method
+
+
+def prepare_triangles(vertices, topology: Optional[Topology], tri_block: int):
+    """Expand topology → padded (T', 3) triangle vertex device arrays + mask."""
+    v = as_points(vertices)
+    if topology is None:
+        topology = Topology.triangle_list(None)
+    ta, tb, tc = gather_triangle_vertices(v, topology)
+    T = ta.shape[0]
+    pad = (-T) % tri_block if T > 0 else tri_block
+    valid = np.ones((T,), bool)
+    if pad:
+        zeros = np.zeros((pad, 3), np.float32)
+        ta = np.concatenate([ta, zeros])
+        tb = np.concatenate([tb, zeros])
+        tc = np.concatenate([tc, zeros])
+        valid = np.concatenate([valid, np.zeros((pad,), bool)])
+    return (
+        jnp.asarray(ta),
+        jnp.asarray(tb),
+        jnp.asarray(tc),
+        jnp.asarray(valid),
+        T,
+    )
+
+
+def generate_sdf(
+    vertices,
+    topology: Optional[Topology],
+    query_points,
+    acceleration: Union[AccelerationMethod, Strategy, None] = None,
+    *,
+    sign_method: Optional[SignMethod] = None,
+    raycast_axes: int = 3,
+    tri_block: int = brute.DEFAULT_TRI_BLOCK,
+    query_chunk: int = brute.DEFAULT_QUERY_CHUNK,
+) -> jax.Array:
+    """Signed distance at each query point (positive outside, negative inside).
+
+    Mirrors `mesh_to_sdf/src/lib.rs:291-311`. ``raycast_axes``: 3 (default)
+    votes best-of-3 like the reference Bvh/RtreeBvh backends
+    (`bvh.rs:133-139`); 1 casts only +X like the ``None`` backend
+    (`default.rs:36`).
+
+    Returns a (Q,) float32 JAX array in the same order as ``query_points``.
+    """
+    strategy, sign = _resolve(acceleration, sign_method)
+    q = as_points(query_points)
+    Q = q.shape[0]
+    if Q == 0:
+        return jnp.zeros((0,), jnp.float32)
+
+    ta, tb, tc, valid, n_tris = prepare_triangles(vertices, topology, tri_block)
+
+    if strategy == Strategy.CULLED and n_tris > 0:
+        from .ops import culling
+
+        return culling.query_sdf_culled(
+            jnp.asarray(q), ta, tb, tc, valid,
+            sign_method=sign, raycast_axes=raycast_axes,
+        )[:Q]
+
+    chunk = min(query_chunk, max(Q, 1))
+    qpad = (-Q) % chunk
+    if qpad:
+        q = np.concatenate([q, np.zeros((qpad, 3), np.float32)])
+
+    out = brute.sdf_brute(
+        jnp.asarray(q), ta, tb, tc, valid,
+        sign_method=sign,
+        raycast_axes=raycast_axes if sign == SignMethod.RAYCAST else 0,
+        tri_block=tri_block,
+        query_chunk=chunk,
+    )
+    return out[:Q]

@@ -1,0 +1,148 @@
+"""generate_grid_sdf tests: cross-mode consistency, baselines, physics."""
+import numpy as np
+import pytest
+
+from mesh_to_sdf_tpu import Grid, SignMethod, Strategy, Topology, generate_grid_sdf, generate_sdf
+import baselines
+
+
+def test_doc_example_grid():
+    """`generate/grid.rs:204-231` doctest: sdf[0] == 1.0."""
+    vertices = np.array([[0.5, 1.5, 0.5], [1.0, 2.0, 3.0], [1.0, 3.0, 4.0]], np.float32)
+    indices = np.array([0, 1, 2], np.uint32)
+    grid = Grid.from_bounding_box([0.0] * 3, [10.0] * 3, [10, 10, 10])
+    sdf = np.asarray(
+        generate_grid_sdf(vertices, Topology.triangle_list(indices), grid,
+                          SignMethod.RAYCAST)
+    )
+    assert sdf.shape == (1000,)
+    assert abs(sdf[0] - 1.0) < 1e-6
+
+
+def test_grid_matches_query_points():
+    """Grid output == generate_sdf at cell centers (`grid.rs:692-724`)."""
+    vertices = np.array(
+        [[0.0, 1.0, 0.0], [1.0, 2.0, 3.0], [1.0, 3.0, 4.0], [2.0, 0.0, 0.0]],
+        np.float32,
+    )
+    indices = np.array([0, 1, 2, 1, 2, 3], np.uint32)
+    grid = Grid.from_bounding_box([0.0] * 3, [5.0] * 3, [5, 5, 5])
+
+    sdf_grid = np.asarray(
+        generate_grid_sdf(vertices, Topology.triangle_list(indices), grid,
+                          SignMethod.NORMAL)
+    )
+    centers = np.asarray(grid.all_cell_centers()).reshape(-1, 3)
+    sdf_pts = np.asarray(
+        generate_sdf(vertices, Topology.triangle_list(indices), centers,
+                     Strategy.XLA, sign_method=SignMethod.NORMAL)
+    )
+    np.testing.assert_allclose(sdf_grid, sdf_pts, atol=0)
+
+
+@pytest.mark.parametrize("sign", ["raycast", "normal"])
+def test_vs_numpy_baseline_sphere(sign):
+    verts, faces = baselines.make_icosphere(subdiv=1)
+    grid = Grid.from_bounding_box([-1.3] * 3, [1.3] * 3, [7, 6, 5])
+    sdf = np.asarray(
+        generate_grid_sdf(
+            verts, Topology.triangle_list(faces.reshape(-1)), grid,
+            SignMethod.RAYCAST if sign == "raycast" else SignMethod.NORMAL,
+        )
+    )
+    base = baselines.brute_grid_sdf(
+        verts, faces, np.asarray(grid.first_cell), np.asarray(grid.cell_size),
+        grid.cell_count, sign_method=sign,
+    ).reshape(-1)
+    # Magnitudes must match everywhere.
+    np.testing.assert_allclose(np.abs(sdf), np.abs(base), rtol=1e-4, atol=2e-5)
+    if sign == "normal":
+        np.testing.assert_allclose(sdf, base, rtol=1e-4, atol=2e-5)
+    else:
+        # Raycast sign near edge-grazing rays is fp-ordering sensitive (fp32
+        # kernel vs fp64 baseline). The reference budgets the same class of
+        # mismatch at ≤1% in its rtree grid tests (`rtree.rs:171-242`), and
+        # its best-of-3 voting exists precisely for this. Require ≤1% flips,
+        # all within one cell diagonal of the surface.
+        flips = np.signbit(sdf) != np.signbit(base)
+        assert flips.mean() <= 0.01, f"{flips.mean():.2%} sign mismatches"
+        diag = float(np.linalg.norm(np.asarray(grid.cell_size)))
+        assert np.all(np.abs(base[flips]) <= diag)
+
+
+def test_raycast_box_grid_signs():
+    verts, faces = baselines.make_box(size=(1.0, 1.0, 1.0))
+    # De-symmetrized bbox: with a symmetric grid, rays whose transverse coords
+    # are exactly equal pass through the quad-face triangulation diagonals and
+    # the strict-sign 2-D test misses both triangles (the reference's aligned
+    # test `geo.rs:203` behaves identically — best-of-3 can't save a case
+    # degenerate on all three axes). Offsetting y/z avoids the measure-zero hit.
+    grid = Grid.from_bounding_box([-1.0, -1.05, -1.1], [1.0, 0.95, 0.9], [8, 8, 8])
+    sdf = np.asarray(
+        generate_grid_sdf(verts, Topology.triangle_list(faces.reshape(-1)), grid,
+                          SignMethod.RAYCAST, flat=False)
+    )
+    centers = np.asarray(grid.all_cell_centers())
+    inside = np.all(np.abs(centers) < 0.5, axis=-1)
+    assert np.all(sdf[inside] < 0)
+    assert np.all(sdf[~inside] > 0)
+
+
+def test_grid_continuity_watertight():
+    """|Δd| between neighbors ≤ cell diagonal; sign flips only near surface
+    (`generate/grid.rs:727-807`'s physical-property strategy)."""
+    verts, faces = baselines.make_icosphere(subdiv=2)
+    n = 12
+    grid = Grid.from_bounding_box([-1.5] * 3, [1.5] * 3, [n, n, n])
+    sdf = np.asarray(
+        generate_grid_sdf(verts, Topology.triangle_list(faces.reshape(-1)), grid,
+                          SignMethod.RAYCAST, flat=False)
+    )
+    cell = 3.0 / n
+    diag = cell * np.sqrt(3.0)
+    for axis in range(3):
+        a = np.moveaxis(sdf, axis, 0)
+        delta = np.abs(a[1:] - a[:-1])
+        assert np.max(delta) <= cell + 1e-4, f"axis {axis}: {np.max(delta)}"
+        # when the sign changes between neighbors, both are within a diagonal
+        flip = np.signbit(a[1:]) != np.signbit(a[:-1])
+        assert np.all(np.abs(a[1:][flip]) <= diag)
+        assert np.all(np.abs(a[:-1][flip]) <= diag)
+
+
+def test_grid_smaller_than_mesh():
+    """Out-of-bounds raycast safety (`grid.rs:809-843`): grid strictly inside
+    the mesh — every cell is inside, all distances negative."""
+    verts, faces = baselines.make_icosphere(subdiv=2, radius=2.0)
+    grid = Grid.from_bounding_box([-0.5] * 3, [0.5] * 3, [4, 4, 4])
+    sdf = np.asarray(
+        generate_grid_sdf(verts, Topology.triangle_list(faces.reshape(-1)), grid,
+                          SignMethod.RAYCAST)
+    )
+    assert np.all(sdf < 0)
+    assert np.all(np.abs(sdf) > 1.0)  # at least radius - half-diagonal
+
+
+def test_topology_equivalence_grid():
+    """List/Strip × indices/None produce identical grids (`grid.rs:845-904`)."""
+    verts, faces = baselines.make_icosphere(subdiv=0)
+    grid = Grid.from_bounding_box([-1.2] * 3, [1.2] * 3, [4, 4, 4])
+    flat = faces.reshape(-1)
+    soup = verts[flat]
+
+    a = np.asarray(generate_grid_sdf(verts, Topology.triangle_list(flat), grid))
+    b = np.asarray(generate_grid_sdf(soup, Topology.triangle_list(None), grid))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_negative_cell_size():
+    """cell_size may be negative (`grid.rs:25`): a flipped grid samples the
+    same positions, so distances match the flipped index order."""
+    verts, faces = baselines.make_icosphere(subdiv=0)
+    n = 4
+    g_fwd = Grid.new([-1.2, -1.2, -1.2], [0.8, 0.8, 0.8], [n, n, n])
+    g_rev = Grid.new([1.2, -1.2, -1.2], [-0.8, 0.8, 0.8], [n, n, n])
+    tri = Topology.triangle_list(faces.reshape(-1))
+    fwd = np.asarray(generate_grid_sdf(verts, tri, g_fwd, SignMethod.NORMAL, flat=False))
+    rev = np.asarray(generate_grid_sdf(verts, tri, g_rev, SignMethod.NORMAL, flat=False))
+    np.testing.assert_allclose(fwd, rev[::-1], atol=1e-6)
