@@ -1,0 +1,145 @@
+"""DifferentiableSDF — the flagship "model": mesh vertices as trainable params.
+
+New capability beyond the reference: an SDF grid as a differentiable layer
+(BASELINE.json north star "SDF grids become a trainable layer"). The training
+demo fits a template mesh's vertices so its SDF grid matches a target grid —
+the forward pass is `generate_grid_sdf` restated through the custom-VJP ops,
+the backward flows d(loss)/d(vertices) through the closest-point projection.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..grid import Grid
+from ..types import SignMethod
+from ..ops import autodiff, raycast
+from ..ops.keyed import combine_champions
+
+
+def pad_tri_idx(tri_idx: np.ndarray, block: int) -> np.ndarray:
+    """Pad (M,3) int triangle indices to a multiple of ``block`` with -1
+    sentinel rows (masked inside the kernels)."""
+    m = tri_idx.shape[0]
+    pad = (-m) % block if m > 0 else block
+    if pad:
+        tri_idx = np.concatenate(
+            [tri_idx, np.full((pad, 3), -1, tri_idx.dtype)], axis=0
+        )
+    return tri_idx.astype(np.int32)
+
+
+def sdf_at_points(
+    vertices: jax.Array,
+    tri_idx: jax.Array,
+    queries: jax.Array,
+    sign_method: SignMethod = SignMethod.NORMAL,
+    *,
+    raycast_axes: int = 3,
+    block: int = 512,
+) -> jax.Array:
+    """Differentiable signed distance at query points.
+
+    The sign (parity vote or normal side) is piecewise constant and held under
+    ``stop_gradient``; magnitudes flow through the custom VJP.
+    """
+    if sign_method == SignMethod.NORMAL:
+        mp, mn = autodiff.signed_champion_distances(vertices, tri_idx, queries, block)
+        return combine_champions(mp, mn)
+    dist = autodiff.unsigned_min_distance(vertices, tri_idx, queries, block)
+    from ..ops import culling
+
+    ta = vertices[jnp.maximum(tri_idx[:, 0], 0)]
+    tb = vertices[jnp.maximum(tri_idx[:, 1], 0)]
+    tc = vertices[jnp.maximum(tri_idx[:, 2], 0)]
+    valid = tri_idx[:, 0] >= 0
+    counts = culling._ray_parity_counts(
+        jax.lax.stop_gradient(queries),
+        jax.lax.stop_gradient(ta),
+        jax.lax.stop_gradient(tb),
+        jax.lax.stop_gradient(tc),
+        valid, raycast_axes,
+    )
+    odd = counts % 2 == 1
+    if raycast_axes == 1:
+        inside = odd[:, 0]
+    else:
+        inside = jnp.sum(odd, axis=1) >= 2
+    return jnp.where(inside, -dist, dist)
+
+
+def sdf_grid(
+    vertices: jax.Array,
+    tri_idx: jax.Array,
+    grid: Grid,
+    sign_method: SignMethod = SignMethod.RAYCAST,
+    *,
+    block: int = 512,
+) -> jax.Array:
+    """Differentiable grid SDF, shape (nx, ny, nz)."""
+    centers = grid.all_cell_centers().reshape(-1, 3)
+    dist = autodiff.unsigned_min_distance(vertices, tri_idx, centers, block)
+    dist = dist.reshape(grid.cell_count)
+    if sign_method == SignMethod.RAYCAST:
+        ta = vertices[jnp.maximum(tri_idx[:, 0], 0)]
+        tb = vertices[jnp.maximum(tri_idx[:, 1], 0)]
+        tc = vertices[jnp.maximum(tri_idx[:, 2], 0)]
+        valid = tri_idx[:, 0] >= 0
+        inside = raycast.grid_inside_mask(
+            grid,
+            jax.lax.stop_gradient(ta),
+            jax.lax.stop_gradient(tb),
+            jax.lax.stop_gradient(tc),
+            valid,
+        )
+        dist = jnp.where(inside, -dist, dist)
+    else:
+        centers3 = centers.reshape(grid.cell_count + (3,))
+        mp, mn = autodiff.signed_champion_distances(vertices, tri_idx, centers, block)
+        dist = combine_champions(mp, mn).reshape(grid.cell_count)
+    return dist
+
+
+@dataclass
+class SdfFitState:
+    params: jax.Array  # vertices (V, 3)
+    opt_state: optax.OptState
+
+
+jax.tree_util.register_dataclass(
+    SdfFitState, data_fields=["params", "opt_state"], meta_fields=[]
+)
+
+
+class DifferentiableSDF:
+    """Fit mesh vertices to a target SDF grid by gradient descent."""
+
+    def __init__(self, tri_idx, grid: Grid, sign_method=SignMethod.NORMAL,
+                 learning_rate: float = 1e-2, block: int = 512):
+        self.tri_idx = jnp.asarray(pad_tri_idx(np.asarray(tri_idx), block))
+        self.grid = grid
+        self.sign_method = sign_method
+        self.block = block
+        self.tx = optax.adam(learning_rate)
+
+    def init(self, vertices) -> SdfFitState:
+        v = jnp.asarray(vertices, jnp.float32)
+        return SdfFitState(params=v, opt_state=self.tx.init(v))
+
+    def loss(self, vertices, target_grid_sdf):
+        pred = sdf_grid(vertices, self.tri_idx, self.grid, self.sign_method,
+                        block=self.block)
+        return jnp.mean((pred - target_grid_sdf) ** 2)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def train_step(self, state: SdfFitState, target_grid_sdf):
+        loss, grads = jax.value_and_grad(self.loss)(state.params, target_grid_sdf)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return SdfFitState(params=params, opt_state=opt_state), loss

@@ -28,6 +28,21 @@ DEFAULT_QUERY_CHUNK = 2048
 DEFAULT_TRI_BLOCK = 512
 
 
+def pad_tri_blocks(ta, tb, tc, valid, block: int):
+    """Pad triangle arrays so their length divides ``block`` (pad = invalid).
+    Returns (ta, tb, tc, valid, block) with block clamped to the padded size."""
+    T = ta.shape[0]
+    block = max(1, min(block, T)) if T > 0 else block
+    rem = (-T) % block
+    if rem:
+        zero = jnp.zeros((rem, 3), ta.dtype)
+        ta = jnp.concatenate([ta, zero])
+        tb = jnp.concatenate([tb, zero])
+        tc = jnp.concatenate([tc, zero])
+        valid = jnp.concatenate([valid, jnp.zeros((rem,), bool)])
+    return ta, tb, tc, valid, block
+
+
 def pad_to_multiple(arr: jax.Array, multiple: int, axis: int = 0, value=0.0):
     n = arr.shape[axis]
     rem = (-n) % multiple

@@ -152,8 +152,10 @@ def _query_culled_impl(queries, ta, tb, tc, valid, *, sign_method, raycast_axes,
 def _ray_parity_counts(queries, ta, tb, tc, valid, raycast_axes,
                        tri_block=512, chunk=2048):
     Q = queries.shape[0]
+    chunk = min(chunk, max(Q, 1))
     pad = (-Q) % chunk
     qp = jnp.pad(queries, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+    ta, tb, tc, valid, tri_block = brute.pad_tri_blocks(ta, tb, tc, valid, tri_block)
     n_blocks = ta.shape[0] // tri_block
     blocks = jax.tree.map(
         lambda x: x.reshape((n_blocks, tri_block) + x.shape[1:]),

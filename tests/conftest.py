@@ -1,16 +1,23 @@
-"""Test configuration: force an 8-virtual-device CPU platform BEFORE jax import.
+"""Test configuration: 8-virtual-device CPU platform.
 
 This is the stand-in for multi-chip testing without a pod slice (SURVEY.md §4):
 sharding/collective tests run on a virtual 8-device CPU mesh.
+
+Note: this environment's sitecustomize imports jax at interpreter start (to
+register the `axon` TPU plugin), so setting JAX_PLATFORMS here is too late —
+but ``jax.config.update`` works as long as no backend has been initialized,
+and XLA_FLAGS is read when the CPU client is created.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
