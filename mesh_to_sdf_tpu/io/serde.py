@@ -1,0 +1,170 @@
+"""Versioned SDF serialization (msgpack container).
+
+Capability parity with the reference serde subsystem
+(`mesh_to_sdf/src/serde.rs`): a versioned envelope
+(`serde.rs:108-112,149-155` — ``SerializeVersion::V1``), two payload kinds
+(`serde.rs:77-104` — ``SerializeSdf::{Generic, Grid}``), file helpers
+(`serde.rs:192-221` — ``save_to_file`` / ``read_from_file``), and golden-file
+backward-compatibility tests (`serde.rs:315-374`).
+
+Design notes (TPU-first, not a byte-port of rmp-serde):
+- arrays are framed as raw little-endian buffers with explicit dtype/shape so
+  loads are a single zero-copy ``np.frombuffer`` — no per-element msgpack
+  decode on the host (the reference pays rmp per-float costs; we do not);
+- the envelope is a msgpack map with a ``version`` int; readers accept any
+  known version and fail loudly on unknown ones, mirroring the reference's
+  ``DeserializeVersion`` enum contract;
+- a native C++ codec for the same format lives in ``native/`` (used when
+  built; this module is the always-available fallback and the format spec).
+"""
+from __future__ import annotations
+
+import io as _io
+from dataclasses import dataclass
+from typing import Optional, Tuple, Union
+
+import msgpack
+import numpy as np
+
+from ..grid import Grid
+
+#: Current container version (reference: `serde.rs:108-112`).
+VERSION = 1
+
+_MAGIC = "mesh_to_sdf_tpu"
+
+KIND_GENERIC = "generic"
+KIND_GRID = "grid"
+
+
+class SerdeError(ValueError):
+    """Raised on malformed or unsupported containers."""
+
+
+def _pack_array(arr: np.ndarray) -> dict:
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype.byteorder == ">":
+        arr = arr.astype(arr.dtype.newbyteorder("<"))
+    return {
+        "dtype": arr.dtype.str,
+        "shape": list(arr.shape),
+        "data": arr.tobytes(),
+    }
+
+
+def _unpack_array(obj: dict) -> np.ndarray:
+    try:
+        dtype = np.dtype(obj["dtype"])
+        shape = tuple(obj["shape"])
+        data = obj["data"]
+    except (KeyError, TypeError) as e:
+        raise SerdeError(f"malformed array record: {e}") from e
+    arr = np.frombuffer(data, dtype=dtype)
+    return arr.reshape(shape)
+
+
+@dataclass(frozen=True)
+class GenericSdf:
+    """`SerializeSdf::Generic` (`serde.rs:83-92`): scattered query points."""
+
+    query_points: np.ndarray  # (Q, 3) float32
+    distances: np.ndarray  # (Q,) float32
+
+
+@dataclass(frozen=True)
+class GridSdf:
+    """`SerializeSdf::Grid` (`serde.rs:93-104`): a grid and its distances
+    (flattened in the reference x-major/z-fastest layout)."""
+
+    grid: Grid
+    distances: np.ndarray  # (nx*ny*nz,) float32
+
+
+Sdf = Union[GenericSdf, GridSdf]
+
+
+def dumps(sdf: Sdf) -> bytes:
+    """Serialize an SDF into the versioned container (`serde.rs:181-190`)."""
+    if isinstance(sdf, GenericSdf):
+        q = np.asarray(sdf.query_points, np.float32).reshape(-1, 3)
+        d = np.asarray(sdf.distances, np.float32).reshape(-1)
+        if q.shape[0] != d.shape[0]:
+            raise SerdeError(
+                f"query_points ({q.shape[0]}) and distances ({d.shape[0]}) disagree"
+            )
+        payload = {
+            "kind": KIND_GENERIC,
+            "query_points": _pack_array(q),
+            "distances": _pack_array(d),
+        }
+    elif isinstance(sdf, GridSdf):
+        g = sdf.grid
+        d = np.asarray(sdf.distances, np.float32).reshape(-1)
+        nx, ny, nz = g.cell_count
+        if d.size != nx * ny * nz:
+            raise SerdeError(
+                f"distances size {d.size} != cell count {nx * ny * nz}"
+            )
+        payload = {
+            "kind": KIND_GRID,
+            "grid": {
+                "first_cell": np.asarray(g.first_cell, np.float32).tolist(),
+                "cell_size": np.asarray(g.cell_size, np.float32).tolist(),
+                "cell_count": [int(nx), int(ny), int(nz)],
+            },
+            "distances": _pack_array(d),
+        }
+    else:
+        raise SerdeError(f"unknown SDF payload type {type(sdf)!r}")
+
+    envelope = {"magic": _MAGIC, "version": VERSION, "sdf": payload}
+    return msgpack.packb(envelope, use_bin_type=True)
+
+
+def loads(buf: bytes) -> Sdf:
+    """Deserialize a container, accepting any known version
+    (`serde.rs:149-178`)."""
+    try:
+        envelope = msgpack.unpackb(buf, raw=False)
+    except Exception as e:  # noqa: BLE001 — msgpack raises various types
+        raise SerdeError(f"not a msgpack container: {e}") from e
+    if not isinstance(envelope, dict) or envelope.get("magic") != _MAGIC:
+        raise SerdeError("missing container magic")
+    version = envelope.get("version")
+    if version != VERSION:
+        raise SerdeError(
+            f"unsupported container version {version!r} (supported: {VERSION})"
+        )
+    payload = envelope.get("sdf")
+    if not isinstance(payload, dict):
+        raise SerdeError("missing sdf payload")
+    kind = payload.get("kind")
+    if kind == KIND_GENERIC:
+        q = _unpack_array(payload["query_points"]).astype(np.float32)
+        d = _unpack_array(payload["distances"]).astype(np.float32)
+        if q.ndim != 2 or q.shape[1] != 3 or d.ndim != 1 or q.shape[0] != d.shape[0]:
+            raise SerdeError("inconsistent generic payload shapes")
+        return GenericSdf(query_points=q, distances=d)
+    if kind == KIND_GRID:
+        graw = payload["grid"]
+        grid = Grid.new(
+            graw["first_cell"], graw["cell_size"], graw["cell_count"]
+        )
+        d = _unpack_array(payload["distances"]).astype(np.float32).reshape(-1)
+        if d.size != grid.total_cell_count:
+            raise SerdeError("grid distances size mismatch")
+        return GridSdf(grid=grid, distances=d)
+    raise SerdeError(f"unknown sdf kind {kind!r}")
+
+
+def save_to_file(path, sdf: Sdf) -> None:
+    """`save_to_file` (`serde.rs:192-204`)."""
+    data = dumps(sdf)
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def read_from_file(path) -> Sdf:
+    """`read_from_file` (`serde.rs:207-221`)."""
+    with open(path, "rb") as f:
+        return loads(f.read())
