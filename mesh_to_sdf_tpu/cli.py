@@ -1,0 +1,259 @@
+"""Command-line interface: generate / render / info / bench.
+
+The reference client has an explicit TODO for a CLI (`README.md:173` "Add a
+CLI"); this delivers it, wrapping the same flows its UI drives: load a glTF
+scene (`ui.rs:66-99` → `sdf_program.rs:597-677`), generate a grid SDF, save
+it (serde), and render it offline.
+
+Usage:
+    python -m mesh_to_sdf_tpu generate model.glb --cells 64 --sign raycast -o out.sdf
+    python -m mesh_to_sdf_tpu render out.sdf -o out.png [--mode trilinear]
+    python -m mesh_to_sdf_tpu render model.glb --cells 64 -o out.png
+    python -m mesh_to_sdf_tpu info out.sdf
+    python -m mesh_to_sdf_tpu bench --cells 128 --tris 20480
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_grid(vmin, vmax, cells: int, extent_scale: float):
+    """Grid from a mesh bbox, scaled about its center — the client's bbox
+    extent slider (`sdf_program.rs:679-722`, scale ∈ [1, 3])."""
+    from .grid import Grid
+
+    center = (vmin + vmax) * 0.5
+    half = (vmax - vmin) * 0.5 * extent_scale
+    return Grid.from_bounding_box(center - half, center + half, [cells] * 3)
+
+
+def _load_mesh_arg(path):
+    from .io import gltf
+
+    verts, faces = gltf.load_mesh(path)
+    if len(faces) == 0:
+        raise SystemExit(f"error: {path} contains no triangles")
+    return verts, faces
+
+
+def cmd_generate(args) -> int:
+    import jax
+
+    from . import SignMethod, Topology, generate_grid_sdf
+    from .io import serde
+    from .utils.profiling import PhaseTimer
+
+    verts, faces = _load_mesh_arg(args.input)
+    sign = SignMethod(args.sign)
+    grid = _build_grid(
+        verts.min(axis=0), verts.max(axis=0), args.cells, args.extent_scale
+    )
+    topo = Topology.triangle_list(faces.reshape(-1))
+
+    timer = PhaseTimer()
+    with timer.phase("generate"):
+        dist = generate_grid_sdf(verts, topo, grid, sign)
+        dist = np.asarray(jax.block_until_ready(dist))
+    n = grid.total_cell_count
+    secs = timer.times["generate"]
+    print(
+        f"generated {args.cells}^3 grid ({n} cells, {len(faces)} tris, "
+        f"{sign.value}) in {secs:.3f}s — {n / secs:,.0f} cells/s",
+        file=sys.stderr,
+    )
+    serde.save_to_file(args.output, serde.GridSdf(grid=grid, distances=dist))
+    print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_render(args) -> int:
+    from . import SignMethod, Topology, generate_grid_sdf
+    from .io import serde
+    from .render import Camera, RaymarchMode, render, save_png
+
+    if args.input.endswith((".glb", ".gltf")):
+        verts, faces = _load_mesh_arg(args.input)
+        grid = _build_grid(
+            verts.min(axis=0), verts.max(axis=0), args.cells, args.extent_scale
+        )
+        dist = np.asarray(
+            generate_grid_sdf(
+                verts,
+                Topology.triangle_list(faces.reshape(-1)),
+                grid,
+                SignMethod(args.sign),
+                flat=False,
+            )
+        )
+    else:
+        sdf = serde.read_from_file(args.input)
+        if not isinstance(sdf, serde.GridSdf):
+            raise SystemExit("error: render needs a grid SDF (kind=grid)")
+        grid = sdf.grid
+        dist = sdf.distances.reshape(grid.cell_count)
+
+    cam = Camera.orbit(
+        grid,
+        azimuth_deg=args.azimuth,
+        elevation_deg=args.elevation,
+        width=args.width,
+        height=args.height,
+    )
+    img = render(
+        dist, grid, cam, iso=args.iso, mode=RaymarchMode(args.mode),
+        shadows=not args.no_shadows,
+    )
+    save_png(args.output, np.asarray(img))
+    print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .io import serde
+    from .render import iso_limits
+
+    if args.input.endswith((".glb", ".gltf")):
+        verts, faces = _load_mesh_arg(args.input)
+        print(
+            json.dumps(
+                {
+                    "kind": "mesh",
+                    "vertices": int(len(verts)),
+                    "triangles": int(len(faces)),
+                    "bbox_min": verts.min(axis=0).tolist(),
+                    "bbox_max": verts.max(axis=0).tolist(),
+                }
+            )
+        )
+        return 0
+    sdf = serde.read_from_file(args.input)
+    if isinstance(sdf, serde.GridSdf):
+        lo, hi = iso_limits(sdf.distances)
+        g = sdf.grid
+        print(
+            json.dumps(
+                {
+                    "kind": "grid",
+                    "cell_count": list(g.cell_count),
+                    "first_cell": np.asarray(g.first_cell).tolist(),
+                    "cell_size": np.asarray(g.cell_size).tolist(),
+                    "iso_limits": [float(lo), float(hi)],
+                    "inside_fraction": float((sdf.distances < 0).mean()),
+                }
+            )
+        )
+    else:
+        print(
+            json.dumps(
+                {
+                    "kind": "generic",
+                    "points": int(len(sdf.distances)),
+                    "iso_limits": [
+                        float(sdf.distances.min()),
+                        float(sdf.distances.max()),
+                    ],
+                }
+            )
+        )
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import jax
+
+    from . import Grid, SignMethod, Topology, generate_grid_sdf
+    from .utils.meshgen import icosphere
+
+    subdiv = max(1, int(np.ceil(np.log(max(args.tris, 20) / 20) / np.log(4))))
+    verts, faces = icosphere(subdiv=subdiv)
+    grid = Grid.from_bounding_box([-1.1] * 3, [1.1] * 3, [args.cells] * 3)
+    topo = Topology.triangle_list(faces.reshape(-1))
+    sign = SignMethod(args.sign)
+
+    def run():
+        out = generate_grid_sdf(verts, topo, grid, sign)
+        jax.block_until_ready(out)
+
+    run()
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    n = grid.total_cell_count
+    print(
+        json.dumps(
+            {
+                "metric": f"grid_cells_per_s_{args.cells}^3_{sign.value}",
+                "value": round(n / best, 1),
+                "unit": "cells/s",
+                "tris": int(len(faces)),
+                "seconds": round(best, 4),
+            }
+        )
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="mesh_to_sdf_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("generate", help="mesh → grid SDF file")
+    g.add_argument("input")
+    g.add_argument("-o", "--output", required=True)
+    g.add_argument("--cells", type=int, default=64, help="grid resolution per axis")
+    g.add_argument("--sign", choices=["raycast", "normal"], default="raycast")
+    g.add_argument(
+        "--extent-scale", type=float, default=1.1,
+        help="bbox scale around the mesh (client slider range 1..3)",
+    )
+    g.set_defaults(fn=cmd_generate)
+
+    r = sub.add_parser("render", help="SDF file or mesh → PNG")
+    r.add_argument("input")
+    r.add_argument("-o", "--output", required=True)
+    r.add_argument("--cells", type=int, default=64)
+    r.add_argument("--sign", choices=["raycast", "normal"], default="raycast")
+    r.add_argument("--extent-scale", type=float, default=1.1)
+    r.add_argument(
+        "--mode",
+        choices=[m.value for m in __import__(
+            "mesh_to_sdf_tpu.render", fromlist=["RaymarchMode"]
+        ).RaymarchMode],
+        default="trilinear",
+    )
+    r.add_argument("--iso", type=float, default=0.0)
+    r.add_argument("--width", type=int, default=512)
+    r.add_argument("--height", type=int, default=512)
+    r.add_argument("--azimuth", type=float, default=30.0)
+    r.add_argument("--elevation", type=float, default=25.0)
+    r.add_argument("--no-shadows", action="store_true")
+    r.set_defaults(fn=cmd_render)
+
+    i = sub.add_parser("info", help="describe a mesh or SDF file")
+    i.add_argument("input")
+    i.set_defaults(fn=cmd_info)
+
+    b = sub.add_parser("bench", help="grid-generation throughput")
+    b.add_argument("--cells", type=int, default=128)
+    b.add_argument("--tris", type=int, default=20480)
+    b.add_argument("--sign", choices=["raycast", "normal"], default="raycast")
+    b.add_argument("--repeats", type=int, default=3)
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

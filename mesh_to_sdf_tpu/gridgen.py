@@ -51,13 +51,34 @@ def generate_grid_sdf(
     layout (`grid.rs:122-124`) when ``flat=True``, else shaped (nx, ny, nz).
     Positive outside, negative inside (`grid.rs:199-232`).
     """
+    from .query import _auto_strategy
+
     strategy, sign = _resolve(
         strategy if strategy is not None else Strategy.AUTO, sign_method
     )
+    if strategy == Strategy.AUTO:
+        strategy = _auto_strategy()
 
     ta, tb, tc, valid, n_tris = prepare_triangles(vertices, topology, tri_block)
 
-    if strategy == Strategy.CULLED and n_tris > 0:
+    if strategy == Strategy.PALLAS and n_tris > 0:
+        import jax as _jax
+
+        from .ops.kernels import pallas_sdf
+
+        interp = _jax.default_backend() != "tpu"
+        centers = grid.all_cell_centers().reshape(-1, 3)
+        ra, rb, rc = ta[:n_tris], tb[:n_tris], tc[:n_tris]
+        if sign == SignMethod.NORMAL:
+            dist3 = pallas_sdf.sdf_normal_pallas(
+                centers, ra, rb, rc, interpret=interp
+            )[: centers.shape[0]].reshape(grid.cell_count)
+        else:
+            # Unsigned distance only; sign comes from the line-parity kernel.
+            dist3 = pallas_sdf.sdf_raycast_pallas(
+                centers, ra, rb, rc, raycast_axes=0, interpret=interp
+            )[: centers.shape[0]].reshape(grid.cell_count)
+    elif strategy == Strategy.CULLED and n_tris > 0:
         from .ops import culling
 
         dist3 = culling.grid_distance_culled(grid, ta, tb, tc, valid, sign=sign)

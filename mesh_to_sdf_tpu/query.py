@@ -27,6 +27,14 @@ def _resolve(acceleration, sign_method):
     return acceleration, sign_method
 
 
+def _auto_strategy() -> Strategy:
+    """AUTO → the Pallas kernel on TPU (the XLA brute path materializes pair
+    temporaries to HBM and is ~30-60x slower there); fused-XLA elsewhere."""
+    import jax
+
+    return Strategy.PALLAS if jax.default_backend() == "tpu" else Strategy.XLA
+
+
 def prepare_triangles(vertices, topology: Optional[Topology], tri_block: int):
     """Expand topology → padded (T', 3) triangle vertex device arrays + mask."""
     v = as_points(vertices)
@@ -72,12 +80,33 @@ def generate_sdf(
     Returns a (Q,) float32 JAX array in the same order as ``query_points``.
     """
     strategy, sign = _resolve(acceleration, sign_method)
+    if strategy == Strategy.AUTO:
+        strategy = _auto_strategy()
     q = as_points(query_points)
     Q = q.shape[0]
     if Q == 0:
         return jnp.zeros((0,), jnp.float32)
 
     ta, tb, tc, valid, n_tris = prepare_triangles(vertices, topology, tri_block)
+
+    if strategy == Strategy.PALLAS and n_tris > 0:
+        import jax
+
+        from .ops.kernels import pallas_sdf
+
+        qj = jnp.asarray(q)
+        # The kernel does its own tail padding (PAD_COORD sentinel); strip the
+        # zero-triangle padding added for the XLA path. Off-TPU, run the
+        # kernel through the Pallas interpreter (slow but correct).
+        interp = jax.default_backend() != "tpu"
+        ra, rb, rc = ta[:n_tris], tb[:n_tris], tc[:n_tris]
+        if sign == SignMethod.NORMAL:
+            return pallas_sdf.sdf_normal_pallas(
+                qj, ra, rb, rc, interpret=interp
+            )[:Q]
+        return pallas_sdf.sdf_raycast_pallas(
+            qj, ra, rb, rc, raycast_axes=raycast_axes, interpret=interp
+        )[:Q]
 
     if strategy == Strategy.CULLED and n_tris > 0:
         from .ops import culling

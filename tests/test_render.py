@@ -1,0 +1,126 @@
+"""Renderer tests: sampler semantics, raymarch hit geometry, isosurface tools."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from baselines import make_icosphere
+from mesh_to_sdf_tpu import Grid, SignMethod, Topology, generate_grid_sdf
+from mesh_to_sdf_tpu.render import (
+    Camera,
+    RaymarchMode,
+    estimate_normal,
+    iso_limits,
+    ordered_indices,
+    point_cloud,
+    render,
+    sample,
+    surface_cells,
+    to_uint8,
+    trace,
+    voxel_band,
+)
+
+
+@pytest.fixture(scope="module")
+def sphere_grid():
+    v, f = make_icosphere(subdiv=3)
+    g = Grid.from_bounding_box([-1.3] * 3, [1.3] * 3, [24, 24, 24])
+    d = generate_grid_sdf(
+        v, Topology.triangle_list(f.reshape(-1)), g, SignMethod.RAYCAST, flat=False
+    )
+    return g, np.asarray(d)
+
+
+def test_samplers_agree_at_cell_centers(sphere_grid):
+    """All samplers must return the stored value exactly at cell centers
+    (trilinear/tetrahedral weights collapse to 1 on the dual grid)."""
+    g, d = sphere_grid
+    cells = np.array([[3, 4, 5], [10, 10, 10], [0, 0, 0], [23, 23, 23]])
+    pts = np.asarray(g.cell_center(cells))
+    want = d[cells[:, 0], cells[:, 1], cells[:, 2]]
+    for mode in RaymarchMode:
+        got = np.asarray(sample(jnp.asarray(d), g, jnp.asarray(pts), mode))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=mode.value)
+
+
+def test_trilinear_is_linear_between_centers(sphere_grid):
+    g, d = sphere_grid
+    a = np.asarray(g.cell_center([5, 5, 5]))
+    b = np.asarray(g.cell_center([6, 5, 5]))
+    mid = (a + b) * 0.5
+    va = d[5, 5, 5]
+    vb = d[6, 5, 5]
+    got = float(sample(jnp.asarray(d), g, jnp.asarray(mid), RaymarchMode.TRILINEAR))
+    np.testing.assert_allclose(got, (va + vb) / 2, atol=1e-5)
+    got_t = float(
+        sample(jnp.asarray(d), g, jnp.asarray(mid), RaymarchMode.TETRAHEDRAL)
+    )
+    np.testing.assert_allclose(got_t, (va + vb) / 2, atol=1e-5)
+
+
+def test_out_of_bounds_sentinel(sphere_grid):
+    g, d = sphere_grid
+    far = jnp.asarray([[99.0, 0.0, 0.0]])
+    for mode in RaymarchMode:
+        got = float(sample(jnp.asarray(d), g, far, mode)[0])
+        assert got == pytest.approx(100.0), mode
+
+
+def test_trace_hits_sphere(sphere_grid):
+    g, d = sphere_grid
+    origins = jnp.asarray([[0.0, 0.0, 3.0], [3.0, 3.0, 3.0]])
+    dirs = -origins / jnp.linalg.norm(origins, axis=-1, keepdims=True)
+    pos, dist, hit = trace(jnp.asarray(d), g, origins, dirs)
+    assert bool(hit[0]) and bool(hit[1])
+    # Hit point should be near the unit sphere surface.
+    r = np.linalg.norm(np.asarray(pos), axis=-1)
+    np.testing.assert_allclose(r, 1.0, atol=0.15)
+
+
+def test_trace_miss(sphere_grid):
+    g, d = sphere_grid
+    origins = jnp.asarray([[0.0, 0.0, 3.0]])
+    dirs = jnp.asarray([[0.0, 0.0, 1.0]])  # away from the grid
+    _, _, hit = trace(jnp.asarray(d), g, origins, dirs)
+    assert not bool(hit[0])
+
+
+def test_normals_point_outward(sphere_grid):
+    g, d = sphere_grid
+    p = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    n = np.asarray(estimate_normal(jnp.asarray(d), g, p))
+    # For a sphere SDF the gradient at the surface is the radial direction.
+    np.testing.assert_allclose(n[0], [1, 0, 0], atol=0.2)
+    np.testing.assert_allclose(n[1], [0, 1, 0], atol=0.2)
+
+
+def test_render_image(sphere_grid):
+    g, d = sphere_grid
+    cam = Camera.orbit(g, width=64, height=64)
+    img = np.asarray(render(jnp.asarray(d), g, cam))
+    assert img.shape == (64, 64, 3)
+    hit_frac = (img.sum(-1) > 0).mean()
+    assert 0.03 < hit_frac < 0.9  # sphere visible, background present
+    # Center pixel hits the sphere; corner does not.
+    assert img[32, 32].sum() > 0
+    assert img[0, 0].sum() == 0
+    u8 = to_uint8(img)
+    assert u8.dtype == np.uint8 and u8.max() <= 255
+
+
+def test_ordered_indices_and_band(sphere_grid):
+    g, d = sphere_grid
+    order, sd = ordered_indices(jnp.asarray(d))
+    sd = np.asarray(sd)
+    assert (np.diff(sd) >= 0).all()
+    lo, hi = iso_limits(jnp.asarray(d))
+    assert float(lo) < 0 < float(hi)
+    b0, b1 = voxel_band(jnp.asarray(sd), 0.0, float(2.6 / 24))
+    assert 0 < int(b1 - b0) < d.size
+    cells = surface_cells(g, d)
+    # Every surface cell's |distance| is within one cell width.
+    vals = d[cells[:, 0], cells[:, 1], cells[:, 2]]
+    assert np.abs(vals).max() <= 2.6 / 24 + 1e-6
+    pc = point_cloud(g, d)
+    r = np.linalg.norm(pc, axis=1)
+    assert np.abs(r - 1.0).max() < 0.2
