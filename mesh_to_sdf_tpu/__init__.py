@@ -12,6 +12,7 @@ from .topology import Topology, as_points
 from .types import AccelerationMethod, SignMethod, Strategy, F32_MAX
 from .query import generate_sdf
 from .gridgen import generate_grid_sdf
+from .ops.keyed import compare_distances
 
 __version__ = "0.1.0"
 
@@ -25,5 +26,6 @@ __all__ = [
     "F32_MAX",
     "generate_sdf",
     "generate_grid_sdf",
+    "compare_distances",
     "__version__",
 ]

@@ -35,7 +35,12 @@ def _build_grid(vmin, vmax, cells: int, extent_scale: float):
 def _load_mesh_arg(path):
     from .io import gltf
 
-    verts, faces = gltf.load_mesh(path)
+    try:
+        verts, faces = gltf.load_mesh(path)
+    except gltf.GltfError as e:
+        # The reference surfaces load failures as UI alerts (`ui.rs:76-97`);
+        # the CLI analog is a clean error exit.
+        raise SystemExit(f"error: {e}") from e
     if len(faces) == 0:
         raise SystemExit(f"error: {path} contains no triangles")
     return verts, faces

@@ -33,6 +33,17 @@ from .ops import brute, raycast
 from .query import prepare_triangles, _resolve
 
 
+def _count_triangles(vertices, topology) -> int:
+    from .topology import as_points, expand_triangles, Topology as _T
+
+    topo = topology if topology is not None else _T.triangle_list(None)
+    if topo.indices is not None:
+        n = topo.indices.size
+    else:
+        n = len(as_points(vertices))
+    return n // 3 if topo.kind == "list" else max(n - 2, 0)
+
+
 def generate_grid_sdf(
     vertices,
     topology: Optional[Topology],
@@ -57,11 +68,38 @@ def generate_grid_sdf(
         strategy if strategy is not None else Strategy.AUTO, sign_method
     )
     if strategy == Strategy.AUTO:
+        # Cost model: the dense engine is O(cells·tris) at ~5e10 pairs/s
+        # (Pallas, TPU); CPT is O(cells) sweeps plus a fixed transpose/scan
+        # overhead. Below the crossover the dense sweep wins outright.
+        n_cells = grid.total_cell_count
+        n_t = _count_triangles(vertices, topology)
+        dense_cost = n_cells * max(n_t, 1) / 5.0e10
+        cpt_cost = 0.15 + n_cells / 2.0e8
+        strategy = Strategy.CPT if cpt_cost < dense_cost else _auto_strategy()
+    if strategy == Strategy.CPT and sign == SignMethod.NORMAL:
+        # CPT produces unsigned distances; the normal sign needs the
+        # two-champion reduction — use the dense engines for that mode.
         strategy = _auto_strategy()
 
     ta, tb, tc, valid, n_tris = prepare_triangles(vertices, topology, tri_block)
 
-    if strategy == Strategy.PALLAS and n_tris > 0:
+    if strategy == Strategy.CPT and n_tris > 0:
+        from .ops import cpt as cpt_mod
+
+        # Subdivide oversized triangles on the host so every seed window
+        # covers its triangle (surface-identical ⇒ distances/sign unchanged).
+        cs = float(np.max(np.abs(np.asarray(grid.cell_size))))
+        v_np = np.asarray(ta[:n_tris]), np.asarray(tb[:n_tris]), np.asarray(tc[:n_tris])
+        tris_np = np.stack(v_np, axis=1)  # (T, 3, 3)
+        ra, rb, rc = cpt_mod.subdivide_to_span(
+            tris_np.reshape(-1, 3),
+            np.arange(3 * n_tris, dtype=np.int64).reshape(-1, 3),
+            max_edge=(cpt_mod.SEED_SPAN - 1.5) * cs,
+        )
+        dist3, _idx = cpt_mod.closest_point_grid(
+            grid, jnp.asarray(ra), jnp.asarray(rb), jnp.asarray(rc)
+        )
+    elif strategy == Strategy.PALLAS and n_tris > 0:
         import jax as _jax
 
         from .ops.kernels import pallas_sdf
@@ -101,9 +139,19 @@ def generate_grid_sdf(
         dist3 = dist.reshape(grid.cell_count)
 
     if sign == SignMethod.RAYCAST:
-        inside = raycast.grid_inside_mask(
-            grid, ta, tb, tc, valid, tri_block=min(tri_block, 256)
-        )
+        # Pallas parity kernel on TPU regardless of the distance strategy;
+        # the XLA sort-based kernel elsewhere (interpret-mode Pallas would be
+        # slower than XLA on CPU).
+        if jax.default_backend() == "tpu" and n_tris > 0:
+            from .ops.kernels import pallas_parity
+
+            inside, _ovf = pallas_parity.grid_inside_mask_pallas(
+                grid, ta[:n_tris], tb[:n_tris], tc[:n_tris]
+            )
+        else:
+            inside = raycast.grid_inside_mask(
+                grid, ta, tb, tc, valid, tri_block=min(tri_block, 256)
+            )
         dist3 = jnp.where(inside, -dist3, dist3)
 
     return dist3.reshape(-1) if flat else dist3

@@ -38,7 +38,7 @@ SUB = 256
 #: Distinct hit buckets extracted per (line, sub-block).
 K_DISTINCT = 8
 
-_INF = jnp.float32(3.0e38)
+_INF = 3.0e38  # plain float: jnp scalars would be captured consts in-kernel
 #: Transverse coordinate for padded lines — far enough that no triangle is hit.
 PAD_LINE = 1.0e9
 PAD_TRI = 1.0e18
@@ -62,7 +62,8 @@ def _parity_kernel(*refs, n_sub: int, sub: int, k_distinct: int, n_pad: int):
         cnt_ref[:, :] = jnp.zeros_like(cnt_ref)
         ovf_ref[:] = jnp.zeros_like(ovf_ref)
 
-    cells = jax.lax.broadcasted_iota(jnp.float32, (1, n_pad), 1)
+    # tpu.iota only yields integers; cast after.
+    cells = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1).astype(jnp.float32)
 
     counts = cnt_ref[:, :]
     ovf = ovf_ref[:]

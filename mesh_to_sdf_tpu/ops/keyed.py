@@ -68,3 +68,18 @@ def combine_champions(min_pos, min_neg):
 def merge_champion_pairs(pos_a, neg_a, pos_b, neg_b):
     """Associative merge of two champion pairs (for tree/shard reductions)."""
     return jnp.minimum(pos_a, pos_b), jnp.minimum(neg_a, neg_b)
+
+
+def compare_distances(a, b):
+    """Pairwise reference `compare_distances` (`lib.rs:242-259`): returns the
+    winner of the two signed distances — approximately equal magnitudes prefer
+    the positive one, otherwise the smaller magnitude wins."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    eq = approx_eq_f32(jnp.abs(a), jnp.abs(b))
+    pick_a = jnp.where(
+        eq,
+        a >= b,                      # equal magnitude: positive wins
+        jnp.abs(a) < jnp.abs(b),     # else: smaller magnitude wins
+    )
+    return jnp.where(pick_a, a, b)

@@ -9,10 +9,12 @@ from .sampler import RaymarchMode, sample, sample_snap, sample_trilinear, sample
 from .raymarch import Camera, render, trace, estimate_normal
 from .isosurface import ordered_indices, iso_limits, voxel_band, surface_cells, point_cloud
 from .image import save_png, to_uint8
+from .splat import colorize_distances, render_points, render_sdf_points
 
 __all__ = [
     "RaymarchMode", "sample", "sample_snap", "sample_trilinear",
     "sample_tetrahedral", "Camera", "render", "trace", "estimate_normal",
     "ordered_indices", "iso_limits", "voxel_band", "surface_cells",
     "point_cloud", "save_png", "to_uint8",
+    "colorize_distances", "render_points", "render_sdf_points",
 ]

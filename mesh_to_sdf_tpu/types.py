@@ -52,6 +52,14 @@ class Strategy(enum.Enum):
     #: Two-phase tile culling: coarse tile→triangle candidate selection (top-K
     #: by conservative bound), then exact dense min over candidates.
     CULLED = "culled"
+    #: Closest-point transform (grids only): seed from triangle AABB windows,
+    #: then directional sweeps carrying nearest-triangle state — O(cells+tris),
+    #: the TPU redesign of the reference's preheap+BFS flagship
+    #: (`generate/grid.rs:234-264`). Same guarantee class as the reference:
+    #: exact re-evaluation over propagated candidates (tests assert: never
+    #: undershoots, exact within 1.5 cells of the surface, ≤2% relative
+    #: deviation far-field).
+    CPT = "cpt"
     #: Pick automatically based on problem size and backend.
     AUTO = "auto"
 

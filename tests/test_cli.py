@@ -1,0 +1,88 @@
+"""CLI end-to-end tests (generate → info → render), in-process."""
+import json
+
+import numpy as np
+import pytest
+
+from baselines import make_icosphere
+from mesh_to_sdf_tpu import cli
+from mesh_to_sdf_tpu.io import gltf, serde
+
+
+@pytest.fixture(scope="module")
+def glb(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cli") / "ico.glb"
+    v, f = make_icosphere(subdiv=2)
+    gltf.save_glb(p, v, f)
+    return p
+
+
+def test_generate_info_render(glb, tmp_path, capsys):
+    sdf_path = tmp_path / "out.sdf"
+    rc = cli.main(
+        ["generate", str(glb), "--cells", "12", "-o", str(sdf_path),
+         "--sign", "raycast"]
+    )
+    assert rc == 0 and sdf_path.exists()
+    back = serde.read_from_file(sdf_path)
+    assert isinstance(back, serde.GridSdf)
+    assert back.grid.cell_count == (12, 12, 12)
+    assert (back.distances < 0).any() and (back.distances > 0).any()
+
+    rc = cli.main(["info", str(sdf_path)])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["kind"] == "grid"
+    assert info["iso_limits"][0] < 0 < info["iso_limits"][1]
+
+    png = tmp_path / "out.png"
+    rc = cli.main(
+        ["render", str(sdf_path), "-o", str(png), "--width", "48",
+         "--height", "48", "--no-shadows"]
+    )
+    assert rc == 0 and png.exists()
+    from PIL import Image
+
+    img = np.asarray(Image.open(png))
+    assert img.shape == (48, 48, 3)
+    assert img.sum() > 0
+
+
+def test_info_mesh(glb, capsys):
+    rc = cli.main(["info", str(glb)])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["kind"] == "mesh" and info["triangles"] == 320
+
+
+def test_generate_normal_sign(glb, tmp_path):
+    sdf_path = tmp_path / "n.sdf"
+    rc = cli.main(
+        ["generate", str(glb), "--cells", "10", "-o", str(sdf_path),
+         "--sign", "normal"]
+    )
+    assert rc == 0
+    back = serde.read_from_file(sdf_path)
+    assert (back.distances < 0).any()
+
+
+def test_missing_file_errors():
+    with pytest.raises(SystemExit):
+        cli.main(["generate", "/nonexistent.glb", "-o", "/tmp/x.sdf"])
+
+
+def test_splat_render():
+    from mesh_to_sdf_tpu import Grid, SignMethod, Topology, generate_grid_sdf
+    from mesh_to_sdf_tpu.render import Camera, render_sdf_points
+
+    v, f = make_icosphere(subdiv=2)
+    g = Grid.from_bounding_box([-1.3] * 3, [1.3] * 3, [16] * 3)
+    d = np.asarray(
+        generate_grid_sdf(
+            v, Topology.triangle_list(f.reshape(-1)), g, SignMethod.RAYCAST
+        )
+    )
+    cam = Camera.orbit(g, width=64, height=64)
+    img = render_sdf_points(g, d, cam, point_size=2)
+    assert img.shape == (64, 64, 3)
+    assert img.sum() > 0
