@@ -29,8 +29,41 @@ import numpy as np
 from .grid import Grid
 from .topology import Topology
 from .types import AccelerationMethod, SignMethod, Strategy
+import functools
+
 from .ops import brute, raycast
+from .ops import raycast as raycast_mod
 from .query import prepare_triangles, _resolve
+
+
+@functools.partial(jax.jit, static_argnames=("raycast", "on_tpu", "flat"))
+def _cpt_grid_signed(grid, tris, tris_orig, raycast: bool, on_tpu: bool,
+                     flat: bool):
+    """Fused CPT distance + sign for one grid (single dispatch).
+
+    tris: (3, T, 3) stacked *subdivided* triangles (seed-window coverage);
+    tris_orig: (3, T0, 3) original triangles — raycast parity is
+    subdivision-invariant, so the sign pass uses the smaller soup."""
+    from .ops import cpt as cpt_mod
+
+    ra, rb, rc = tris[0], tris[1], tris[2]
+    if on_tpu:
+        dist3, _ = cpt_mod.closest_point_grid_pallas(grid, ra, rb, rc)
+    else:
+        dist3, _ = cpt_mod.closest_point_grid(grid, ra, rb, rc)
+    if raycast:
+        oa, ob, oc = tris_orig[0], tris_orig[1], tris_orig[2]
+        if on_tpu:
+            from .ops.kernels import pallas_parity
+
+            inside, _ovf = pallas_parity.grid_inside_mask_pallas(grid, oa, ob, oc)
+        else:
+            valid = jnp.ones((oa.shape[0],), bool)
+            inside = raycast_mod.grid_inside_mask(
+                grid, oa, ob, oc, valid, tri_block=256
+            )
+        dist3 = jnp.where(inside, -dist3, dist3)
+    return dist3.reshape(-1) if flat else dist3
 
 
 def _count_triangles(vertices, topology) -> int:
@@ -81,25 +114,38 @@ def generate_grid_sdf(
         # two-champion reduction — use the dense engines for that mode.
         strategy = _auto_strategy()
 
-    ta, tb, tc, valid, n_tris = prepare_triangles(vertices, topology, tri_block)
-
-    if strategy == Strategy.CPT and n_tris > 0:
+    if strategy == Strategy.CPT:
+        # Host-side triangle prep only — no intermediate device round-trips.
+        from .topology import as_points, gather_triangle_vertices
+        from .topology import Topology as _T
         from .ops import cpt as cpt_mod
 
-        # Subdivide oversized triangles on the host so every seed window
-        # covers its triangle (surface-identical ⇒ distances/sign unchanged).
-        cs = float(np.max(np.abs(np.asarray(grid.cell_size))))
-        v_np = np.asarray(ta[:n_tris]), np.asarray(tb[:n_tris]), np.asarray(tc[:n_tris])
-        tris_np = np.stack(v_np, axis=1)  # (T, 3, 3)
-        ra, rb, rc = cpt_mod.subdivide_to_span(
-            tris_np.reshape(-1, 3),
-            np.arange(3 * n_tris, dtype=np.int64).reshape(-1, 3),
-            max_edge=(cpt_mod.SEED_SPAN - 1.5) * cs,
-        )
-        dist3, _idx = cpt_mod.closest_point_grid(
-            grid, jnp.asarray(ra), jnp.asarray(rb), jnp.asarray(rc)
-        )
-    elif strategy == Strategy.PALLAS and n_tris > 0:
+        v_host = as_points(vertices)
+        topo = topology if topology is not None else _T.triangle_list(None)
+        ha, hb, hc = gather_triangle_vertices(v_host, topo)
+        if len(ha) > 0:
+            # Subdivide oversized triangles so every seed window covers its
+            # triangle (surface-identical ⇒ distances/sign unchanged).
+            cs = float(np.max(np.abs(np.asarray(grid.cell_size))))
+            tris_np = np.stack([ha, hb, hc], axis=1)  # (T, 3, 3)
+            ra, rb, rc = cpt_mod.subdivide_to_span(
+                tris_np.reshape(-1, 3),
+                np.arange(3 * len(ha), dtype=np.int64).reshape(-1, 3),
+                max_edge=(cpt_mod.SEED_SPAN - 1.5) * cs,
+            )
+            # One upload + one jitted program for the whole device pipeline.
+            return _cpt_grid_signed(
+                grid,
+                jnp.asarray(np.stack([ra, rb, rc])),
+                jnp.asarray(np.stack([ha, hb, hc])),
+                raycast=sign == SignMethod.RAYCAST,
+                on_tpu=jax.default_backend() == "tpu",
+                flat=flat,
+            )
+
+    ta, tb, tc, valid, n_tris = prepare_triangles(vertices, topology, tri_block)
+
+    if strategy == Strategy.PALLAS and n_tris > 0:
         import jax as _jax
 
         from .ops.kernels import pallas_sdf

@@ -444,3 +444,87 @@ def subdivide_to_span(vertices, faces, max_edge: float, max_tris: int = 4_000_00
         t2 = np.stack([m, b2, c2], 1)
         tris = np.concatenate([keep, t1, t2])
     return tris[:, 0], tris[:, 1], tris[:, 2]
+
+
+# =====================================================================
+# Pallas-accelerated orchestration (TPU): VMEM-carry sweep kernel
+# =====================================================================
+@functools.partial(jax.jit, static_argnames=("rounds", "span", "interpret"))
+def closest_point_grid_pallas(
+    grid: Grid,
+    ta: jax.Array,
+    tb: jax.Array,
+    tc: jax.Array,
+    *,
+    rounds: int = 1,
+    span: int = SEED_SPAN,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`closest_point_grid` with the sweeps as Pallas kernels.
+
+    The XLA scan formulation is launch-overhead bound (~0.3-0.7 ms per grid
+    slice); the kernel (ops/kernels/pallas_sweep.py) holds the carry in VMEM
+    and computes slice centers in-kernel, so each slice costs one HBM
+    read+write. Sweeps run Gauss-Seidel (each direction sees the previous
+    one's result), matching the sequential XLA path's fixed point.
+    """
+    from .kernels import pallas_sweep
+
+    nx, ny, nz = grid.cell_count
+    T = ta.shape[0]
+    d1, i1, d2, i2 = _seed(grid, ta, tb, tc, span)
+
+    tv = jnp.concatenate([ta, tb, tc], axis=-1)
+    tv = jnp.concatenate([tv, jnp.full((1, 9), PAD_COORD, jnp.float32)], axis=0)
+    shape = (nx, ny, nz)
+    d1 = d1.reshape(shape)
+    d2 = d2.reshape(shape)
+    i1 = i1.reshape(shape)
+    i2 = i2.reshape(shape)
+    # Vertex volumes in (n0, 9, n1, n2) layout (axis-0 = x initially).
+    v1 = jnp.transpose(tv[jnp.where(i1 < 0, T, i1)], (0, 3, 1, 2))
+    v2 = jnp.transpose(tv[jnp.where(i2 < 0, T, i2)], (0, 3, 1, 2))
+
+    fc = jnp.asarray(grid.first_cell, jnp.float32)
+    cs = jnp.asarray(grid.cell_size, jnp.float32)
+
+    # Layout transforms between sweep orientations. State starts x-first.
+    #  axis 0: dims (nx, ny, nz), planes (y, z) → comps (0, 1, 2)
+    #  axis 1: dims (ny, nx, nz), planes (x, z) → comps (1, 0, 2)
+    #  axis 2: dims (nz, nx, ny), planes (x, y) → comps (2, 0, 1)
+    perm3 = {  # from x-first to axis-first
+        0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)
+    }
+    inv3 = {0: (0, 1, 2), 1: (1, 0, 2), 2: (1, 2, 0)}
+    perm4 = {0: (0, 1, 2, 3), 1: (2, 1, 0, 3), 2: (3, 1, 0, 2)}
+    inv4 = {0: (0, 1, 2, 3), 1: (2, 1, 0, 3), 2: (2, 1, 3, 0)}
+    comps = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}
+
+    state = (d1, v1, i1, d2, v2, i2)
+    for _ in range(rounds):
+        for axis in (0, 1, 2):
+            if axis != 0:
+                state = (
+                    jnp.transpose(state[0], perm3[axis]),
+                    jnp.transpose(state[1], perm4[axis]),
+                    jnp.transpose(state[2], perm3[axis]),
+                    jnp.transpose(state[3], perm3[axis]),
+                    jnp.transpose(state[4], perm4[axis]),
+                    jnp.transpose(state[5], perm3[axis]),
+                )
+            c0, c1, c2 = comps[axis]
+            for rev in (False, True):
+                state = pallas_sweep.sweep_oriented(
+                    *state, rev, fc, cs,
+                    comp0=c0, comp1=c1, comp2=c2, interpret=interpret,
+                )
+            if axis != 0:
+                state = (
+                    jnp.transpose(state[0], inv3[axis]),
+                    jnp.transpose(state[1], inv4[axis]),
+                    jnp.transpose(state[2], inv3[axis]),
+                    jnp.transpose(state[3], inv3[axis]),
+                    jnp.transpose(state[4], inv4[axis]),
+                    jnp.transpose(state[5], inv3[axis]),
+                )
+    return state[0], state[2]

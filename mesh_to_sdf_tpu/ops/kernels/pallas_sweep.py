@@ -207,11 +207,11 @@ def _sweep_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("comp0", "comp1", "comp2", "interpret"),
+    static_argnames=("reverse", "comp0", "comp1", "comp2", "interpret"),
 )
 def sweep_oriented(
     d1, v1, i1, d2, v2, i2,  # volumes (n0, n1, n2) / (n0, 9, n1, n2)
-    reverse,  # () int32 — 1 = sweep from high to low indices
+    reverse: bool,  # static — folded into the block index maps
     first_cell,  # (3,) world grid params
     cell_size,  # (3,)
     *,
@@ -221,11 +221,14 @@ def sweep_oriented(
     """One directional sweep over volumes laid out sweep-axis-first."""
     n0, n1, n2 = d1.shape
 
-    rev = jnp.asarray(reverse, jnp.int32).reshape(1)
+    rev = jnp.asarray(1 if reverse else 0, jnp.int32).reshape(1)
 
-    def idx(i):
-        # Folds the sweep direction into the block fetch order.
-        return jax.lax.select(rev[0] != 0, n0 - 1 - i, i)
+    if reverse:
+        def idx(i):
+            return n0 - 1 - i
+    else:
+        def idx(i):
+            return i
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     b3 = pl.BlockSpec((1, n1, n2), lambda i: (idx(i), 0, 0),
