@@ -171,18 +171,35 @@ def cmd_info(args) -> int:
 def cmd_bench(args) -> int:
     import jax
 
-    from . import Grid, SignMethod, Topology, generate_grid_sdf
+    from . import Grid, SignMethod, Topology, generate_grid_sdf, generate_sdf
     from .utils.meshgen import icosphere
 
     subdiv = max(1, int(np.ceil(np.log(max(args.tris, 20) / 20) / np.log(4))))
     verts, faces = icosphere(subdiv=subdiv)
-    grid = Grid.from_bounding_box([-1.1] * 3, [1.1] * 3, [args.cells] * 3)
     topo = Topology.triangle_list(faces.reshape(-1))
     sign = SignMethod(args.sign)
 
-    def run():
-        out = generate_grid_sdf(verts, topo, grid, sign)
-        jax.block_until_ready(out)
+    if args.mode == "query":
+        # Scattered-query throughput (BASELINE config 4; reference criterion
+        # `benches/generate_sdf.rs`).
+        rng = np.random.default_rng(0)
+        q = rng.uniform(-1.2, 1.2, (args.queries, 3)).astype(np.float32)
+
+        def run():
+            out = generate_sdf(verts, topo, q, sign_method=sign)
+            jax.block_until_ready(out)
+
+        label = f"queries_per_s_{args.queries}q_{len(faces)}t_{sign.value}"
+        n = args.queries
+    else:
+        grid = Grid.from_bounding_box([-1.1] * 3, [1.1] * 3, [args.cells] * 3)
+
+        def run():
+            out = generate_grid_sdf(verts, topo, grid, sign)
+            jax.block_until_ready(out)
+
+        label = f"grid_cells_per_s_{args.cells}^3_{sign.value}"
+        n = grid.total_cell_count
 
     run()
     times = []
@@ -191,13 +208,12 @@ def cmd_bench(args) -> int:
         run()
         times.append(time.perf_counter() - t0)
     best = min(times)
-    n = grid.total_cell_count
     print(
         json.dumps(
             {
-                "metric": f"grid_cells_per_s_{args.cells}^3_{sign.value}",
+                "metric": label,
                 "value": round(n / best, 1),
-                "unit": "cells/s",
+                "unit": "queries/s" if args.mode == "query" else "cells/s",
                 "tris": int(len(faces)),
                 "seconds": round(best, 4),
             }
@@ -249,8 +265,10 @@ def main(argv=None) -> int:
     i.add_argument("input")
     i.set_defaults(fn=cmd_info)
 
-    b = sub.add_parser("bench", help="grid-generation throughput")
+    b = sub.add_parser("bench", help="grid/query throughput")
+    b.add_argument("--mode", choices=["grid", "query"], default="grid")
     b.add_argument("--cells", type=int, default=128)
+    b.add_argument("--queries", type=int, default=1_000_000)
     b.add_argument("--tris", type=int, default=20480)
     b.add_argument("--sign", choices=["raycast", "normal"], default="raycast")
     b.add_argument("--repeats", type=int, default=3)

@@ -114,10 +114,12 @@ def _top2_distinct(d_all, v_all, i_all) -> CptState:
     return CptState(d1, v1, i1, d2, v2, i2)
 
 
-def _seed(grid: Grid, ta, tb, tc, span: int):
+def _seed(grid: Grid, ta, tb, tc, span: int, runner_up: bool = True):
     """Scatter exact per-cell seeds from triangle AABB windows.
 
-    Returns (dist (N,), tri_idx (N,), second-best dist/idx (N,))."""
+    Returns (dist (N,), tri_idx (N,), second-best dist/idx (N,)).
+    ``runner_up=False`` skips the slot-2 scatters (the sweeps repopulate the
+    runner-up from neighbors; quality measured in tests)."""
     nx, ny, nz = grid.cell_count
     N = nx * ny * nz
     T = ta.shape[0]
@@ -156,6 +158,14 @@ def _seed(grid: Grid, ta, tb, tc, span: int):
     winner = jnp.where(d <= dmin_at, tri_ids, -1)
     tri_idx = jnp.full((N,), -1, jnp.int32).at[flat].max(winner)
 
+    if not runner_up:
+        N_ = dist.shape[0]
+        return (
+            dist,
+            tri_idx,
+            jnp.full((N_,), F32_MAX, jnp.float32),
+            jnp.full((N_,), -1, jnp.int32),
+        )
     # Runner-up (distinct triangle): same scheme with the winner masked out.
     is_winner = tri_ids == tri_idx[flat]
     d_rest = jnp.where(is_winner, F32_MAX, d)
@@ -164,6 +174,105 @@ def _seed(grid: Grid, ta, tb, tc, span: int):
     winner2 = jnp.where(d_rest <= dmin2_at, tri_ids, -1)
     tri_idx2 = jnp.full((N,), -1, jnp.int32).at[flat].max(winner2)
     return dist, tri_idx, dist2, tri_idx2
+
+
+def _seed_sorted(grid: Grid, ta, tb, tc, span: int):
+    """:func:`_seed` via lexicographic sort + segmented selection.
+
+    The scatter-min formulation serializes on colliding cell indices (the
+    TPU scatter path); sorting (cell, distance) pairs turns per-cell winner
+    selection into segment-start reads and the final write into a
+    unique-index scatter. Same outputs as :func:`_seed`.
+    """
+    nx, ny, nz = grid.cell_count
+    N = nx * ny * nz
+    T = ta.shape[0]
+
+    lo, hi = geometry.triangle_bounding_box(ta, tb, tc)
+    bmin, _ = grid.bounding_box()
+    cs = grid.cell_size
+    lo_cell = jnp.floor((lo - bmin) / cs).astype(jnp.int32) - 1
+    hi_cell = jnp.floor((hi - bmin) / cs).astype(jnp.int32) + 1
+    counts = jnp.asarray(grid.cell_count, jnp.int32)
+    base = jnp.clip(lo_cell, 0, jnp.maximum(counts - span, 0))
+
+    r = jnp.arange(span, dtype=jnp.int32)
+    offs = jnp.stack(
+        jnp.meshgrid(r, r, r, indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    cells = base[:, None, :] + offs[None, :, :]
+    in_box = jnp.all(
+        (cells >= jnp.maximum(lo_cell, 0)[:, None, :])
+        & (cells <= jnp.minimum(hi_cell, counts - 1)[:, None, :]),
+        axis=-1,
+    )
+    centers = grid.cell_center(cells)
+    d = geometry.point_triangle_distance(
+        centers, ta[:, None, :], tb[:, None, :], tc[:, None, :]
+    )
+    d = jnp.where(in_box, d, F32_MAX).reshape(-1)
+    # Invalid entries sort to a sentinel segment N (dropped by the scatter).
+    flat = jnp.where(
+        in_box.reshape(-1),
+        grid.cell_index(jnp.clip(cells, 0, counts - 1)).reshape(-1),
+        N,
+    ).astype(jnp.int32)
+    tri_ids = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[:, None], (T, span**3)
+    ).reshape(-1)
+
+    cell_s, d_s, tri_s = jax.lax.sort(
+        (flat, d, tri_ids), num_keys=2
+    )
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), cell_s[1:] != cell_s[:-1]]
+    )
+    # Propagate each segment's winning triangle to all entries (segmented
+    # "copy first" scan).
+    def comb(a, b):
+        a_flag, a_val = a
+        b_flag, b_val = b
+        return a_flag | b_flag, jnp.where(b_flag, b_val, a_val)
+
+    _, win_tri = jax.lax.associative_scan(comb, (seg_start, tri_s))
+    _, win_d = jax.lax.associative_scan(comb, (seg_start, d_s))
+
+    # Runner-up: the first in-segment entry with a different triangle. Since
+    # entries are distance-sorted within a segment, that's a segmented min
+    # over the distinct-masked distances, read at each segment's last entry.
+    distinct = (tri_s != win_tri) & ~seg_start
+    d_masked = jnp.where(distinct, d_s, F32_MAX)
+    t_masked = jnp.where(distinct, tri_s, -1)
+
+    def comb_seg(a, b):
+        a_flag, a_d, a_t = a
+        b_flag, b_d, b_t = b
+        flag = a_flag | b_flag
+        d_out = jnp.where(b_flag, b_d, jnp.minimum(a_d, b_d))
+        t_out = jnp.where(
+            b_flag, b_t, jnp.where(b_d <= a_d, b_t, a_t)
+        )
+        return flag, d_out, t_out
+
+    _, d2_run, t2_run = jax.lax.associative_scan(
+        comb_seg, (seg_start, d_masked, t_masked)
+    )
+    seg_end = jnp.concatenate(
+        [cell_s[1:] != cell_s[:-1], jnp.ones((1,), bool)]
+    )
+
+    dist = jnp.full((N + 1,), F32_MAX, jnp.float32)
+    tri_idx = jnp.full((N + 1,), -1, jnp.int32)
+    dist2 = jnp.full((N + 1,), F32_MAX, jnp.float32)
+    tri_idx2 = jnp.full((N + 1,), -1, jnp.int32)
+    idx_w = jnp.where(seg_start, cell_s, N)
+    dist = dist.at[idx_w].set(jnp.where(seg_start, win_d, F32_MAX))
+    tri_idx = tri_idx.at[idx_w].set(jnp.where(seg_start, tri_s, -1))
+    idx_e = jnp.where(seg_end, cell_s, N)
+    dist2 = dist2.at[idx_e].set(jnp.where(seg_end, d2_run, F32_MAX))
+    tri_idx2 = tri_idx2.at[idx_e].set(jnp.where(seg_end, t2_run, -1))
+    tri_idx2 = jnp.where(dist2[:N] >= F32_MAX, -1, tri_idx2[:N])
+    return dist[:N], tri_idx[:N], dist2[:N], tri_idx2
 
 
 def _sweep_axis0(state: CptState, centers) -> CptState:
@@ -449,7 +558,9 @@ def subdivide_to_span(vertices, faces, max_edge: float, max_tris: int = 4_000_00
 # =====================================================================
 # Pallas-accelerated orchestration (TPU): VMEM-carry sweep kernel
 # =====================================================================
-@functools.partial(jax.jit, static_argnames=("rounds", "span", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("rounds", "span", "seed_runner_up", "interpret")
+)
 def closest_point_grid_pallas(
     grid: Grid,
     ta: jax.Array,
@@ -458,6 +569,7 @@ def closest_point_grid_pallas(
     *,
     rounds: int = 1,
     span: int = SEED_SPAN,
+    seed_runner_up: bool = True,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """:func:`closest_point_grid` with the sweeps as Pallas kernels.
@@ -472,7 +584,10 @@ def closest_point_grid_pallas(
 
     nx, ny, nz = grid.cell_count
     T = ta.shape[0]
-    d1, i1, d2, i2 = _seed(grid, ta, tb, tc, span)
+    # NOTE: the sort+segmented-scan variant (_seed_sorted) halves runtime but
+    # its lax.sort/associative_scan compile takes >10 min through the axon
+    # remote compiler — scatter wins on total wall-clock here.
+    d1, i1, d2, i2 = _seed(grid, ta, tb, tc, span, runner_up=seed_runner_up)
 
     tv = jnp.concatenate([ta, tb, tc], axis=-1)
     tv = jnp.concatenate([tv, jnp.full((1, 9), PAD_COORD, jnp.float32)], axis=0)
