@@ -38,7 +38,9 @@ def main():
 
     def run():
         out = generate_grid_sdf(verts, topo, grid, SignMethod.RAYCAST)
-        jax.block_until_ready(out)
+        # Force execution + host sync: on some backends (axon tunnel)
+        # block_until_ready alone does not guarantee the work ran.
+        float(jax.numpy.sum(out))
         return out
 
     out = run()  # compile + warmup
