@@ -48,9 +48,18 @@ def _cpt_grid_signed(grid, tris, tris_orig, raycast: bool, on_tpu: bool,
 
     ra, rb, rc = tris[0], tris[1], tris[2]
     if on_tpu:
-        dist3, _ = cpt_mod.closest_point_grid_pallas(grid, ra, rb, rc)
+        dist3, idx3 = cpt_mod.closest_point_grid_pallas(grid, ra, rb, rc)
     else:
-        dist3, _ = cpt_mod.closest_point_grid(grid, ra, rb, rc)
+        dist3, idx3 = cpt_mod.closest_point_grid(grid, ra, rb, rc)
+    if not raycast:
+        # Normal sign from the nearest triangle — the reference Rtree
+        # backend's semantics (`rtree.rs:96-126`, ~1% of near-edge cells may
+        # differ from the champion reduction, as its own tests allow).
+        return cpt_mod.normal_sign_from_idx(
+            grid, ra, rb, rc, dist3, idx3
+        ).reshape(-1) if flat else cpt_mod.normal_sign_from_idx(
+            grid, ra, rb, rc, dist3, idx3
+        )
     if raycast:
         oa, ob, oc = tris_orig[0], tris_orig[1], tris_orig[2]
         if on_tpu:
@@ -109,10 +118,7 @@ def generate_grid_sdf(
         dense_cost = n_cells * max(n_t, 1) / 5.0e10
         cpt_cost = 0.15 + n_cells / 2.0e8
         strategy = Strategy.CPT if cpt_cost < dense_cost else _auto_strategy()
-    if strategy == Strategy.CPT and sign == SignMethod.NORMAL:
-        # CPT produces unsigned distances; the normal sign needs the
-        # two-champion reduction — use the dense engines for that mode.
-        strategy = _auto_strategy()
+
 
     if strategy == Strategy.CPT:
         # Host-side triangle prep only — no intermediate device round-trips.

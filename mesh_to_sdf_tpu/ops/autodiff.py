@@ -200,3 +200,120 @@ def _champ_bwd(block, res, gs):
 
 
 signed_champion_distances.defvjp(_champ_fwd, _champ_bwd)
+
+
+# =====================================================================
+# CPT-backed grid distance: O(cells + tris) forward, envelope backward
+# =====================================================================
+def make_cpt_grid_distance(grid, tri_idx_np, vertices_example, *,
+                           use_pallas=None):
+    """Build a differentiable ``f(vertices) -> dist (nx,ny,nz)`` that runs the
+    CPT engine forward (O(cells+tris), see ops/cpt.py) and the envelope VJP
+    backward — the scalable path for DifferentiableSDF at big grids (the
+    O(Q·T) :func:`unsigned_min_distance` is the small-scale/exact fallback).
+
+    tri_idx_np: (M, 3) int numpy vertex indices (static — subdivision
+    structure is fixed at build time from ``vertices_example``).
+
+    The closest point on a subdivided triangle lies on its parent, so the
+    backward pass re-computes barycentrics w.r.t. the PARENT triangle and
+    scatter-adds into the original vertices (see ``_envelope_grads``).
+    Subdivision midpoints move affinely with the parent corners, so carrying
+    gradients through the parent is exact.
+    """
+    import numpy as np
+
+    from . import cpt as cpt_mod
+
+    tri_idx_np = np.asarray(tri_idx_np, np.int64)
+    v0 = np.asarray(vertices_example, np.float32)
+    cs = float(np.max(np.abs(np.asarray(grid.cell_size))))
+    max_edge = (cpt_mod.SEED_SPAN - 1.5) * cs
+    ra, rb, rc, parents = cpt_mod.subdivide_to_span(
+        v0, tri_idx_np, max_edge=max_edge, return_parents=True
+    )
+    # Per-subdivided-vertex barycentric weights w.r.t. the parent corners:
+    # every subdivided vertex is an affine combination of its parent's
+    # corners; solving the (overdetermined) barycentric system per vertex at
+    # build time lets the forward recompute sub-triangles from live vertices.
+    pa = v0[tri_idx_np[parents, 0]]
+    pb = v0[tri_idx_np[parents, 1]]
+    pc = v0[tri_idx_np[parents, 2]]
+
+    def bary_weights(p):
+        # least-squares barycentrics of p in triangle (pa, pb, pc)
+        e0 = pb - pa
+        e1 = pc - pa
+        d = p - pa
+        d00 = (e0 * e0).sum(-1)
+        d01 = (e0 * e1).sum(-1)
+        d11 = (e1 * e1).sum(-1)
+        d20 = (d * e0).sum(-1)
+        d21 = (d * e1).sum(-1)
+        den = np.maximum(d00 * d11 - d01 * d01, 1e-20)
+        v = (d11 * d20 - d01 * d21) / den
+        w = (d00 * d21 - d01 * d20) / den
+        return np.stack([1.0 - v - w, v, w], -1).astype(np.float32)
+
+    wa = jnp.asarray(bary_weights(ra))  # (M', 3)
+    wb = jnp.asarray(bary_weights(rb))
+    wc = jnp.asarray(bary_weights(rc))
+    parent_corners = jnp.asarray(tri_idx_np[parents])  # (M', 3)
+    parents_j = jnp.asarray(parents.astype(np.int32))
+    tri_idx_j = jnp.asarray(tri_idx_np.astype(np.int32))
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    def _sub_tris(vertices):
+        pa = vertices[parent_corners[:, 0]]
+        pb = vertices[parent_corners[:, 1]]
+        pc = vertices[parent_corners[:, 2]]
+
+        def mix(w):
+            return w[:, 0:1] * pa + w[:, 1:2] * pb + w[:, 2:3] * pc
+
+        return mix(wa), mix(wb), mix(wc)
+
+    @jax.custom_vjp
+    def f(vertices):
+        d, _ = _forward(vertices)
+        return d
+
+    def _forward(vertices):
+        ta, tb, tc = _sub_tris(vertices)
+        if use_pallas:
+            dist, idx = cpt_mod.closest_point_grid_pallas(grid, ta, tb, tc)
+        else:
+            dist, idx = cpt_mod.closest_point_grid(grid, ta, tb, tc)
+        return dist, idx
+
+    def fwd(vertices):
+        dist, idx = _forward(vertices)
+        return dist, (vertices, dist, idx)
+
+    def bwd(res, g):
+        vertices, dist, idx = res
+        centers = grid.all_cell_centers().reshape(-1, 3)
+        # Parent triangle per cell (idx < 0 ⇒ no triangle ⇒ zero grad).
+        par = parents_j[jnp.maximum(idx.reshape(-1), 0)]
+        ids = tri_idx_j[par]  # (N, 3) original vertex indices
+        a = vertices[ids[:, 0]]
+        b = vertices[ids[:, 1]]
+        c = vertices[ids[:, 2]]
+        bary = geometry.closest_point_barycentric(centers, a, b, c)
+        q = bary[:, 0:1] * a + bary[:, 1:2] * b + bary[:, 2:3] * c
+        diff = centers - q
+        d = dist.reshape(-1)
+        ok = (d > 0.0) & (d < F32_MAX) & (idx.reshape(-1) >= 0)
+        inv = jnp.where(ok, 1.0 / jnp.maximum(d, _EPS), 0.0)
+        nhat = diff * inv[:, None]
+        gq = g.reshape(-1)[:, None] * nhat
+        contrib = -gq[:, None, :] * bary[:, :, None]
+        gv = jnp.zeros_like(vertices).at[ids.reshape(-1)].add(
+            contrib.reshape(-1, 3)
+        )
+        return (gv,)
+
+    f.defvjp(fwd, bwd)
+    return f

@@ -520,16 +520,21 @@ def closest_point_grid(
     return state.d1, state.i1
 
 
-def subdivide_to_span(vertices, faces, max_edge: float, max_tris: int = 4_000_000):
+def subdivide_to_span(vertices, faces, max_edge: float, max_tris: int = 4_000_000,
+                      return_parents: bool = False):
     """Host-side longest-edge subdivision until every edge ≤ max_edge.
 
     Keeps the surface identical, so distances/signs are unchanged; guarantees
-    every triangle's AABB fits the seed window. numpy in/out.
+    every triangle's AABB fits the seed window. numpy in/out. With
+    ``return_parents`` also returns each output triangle's ORIGINAL face
+    index (for gradient paths: the closest point on a sub-triangle lies on
+    its parent, so barycentric gradients are taken w.r.t. the parent).
     """
     import numpy as np
 
     v = np.asarray(vertices, np.float32)
     tris = v[np.asarray(faces, np.int64)]  # (T, 3, 3) standalone soup
+    parents = np.arange(len(tris), dtype=np.int64)
     while len(tris) < max_tris:
         e0 = np.linalg.norm(tris[:, 1] - tris[:, 0], axis=1)
         e1 = np.linalg.norm(tris[:, 2] - tris[:, 1], axis=1)
@@ -541,7 +546,9 @@ def subdivide_to_span(vertices, faces, max_edge: float, max_tris: int = 4_000_00
         if not split.any():
             break
         keep = tris[~split]
+        keep_p = parents[~split]
         s = tris[split]
+        sp = parents[split]
         w = which[split]
         a, b, c = s[:, 0], s[:, 1], s[:, 2]
         # rotate so the longest edge is (a, b)
@@ -552,6 +559,9 @@ def subdivide_to_span(vertices, faces, max_edge: float, max_tris: int = 4_000_00
         t1 = np.stack([a2, m, c2], 1)
         t2 = np.stack([m, b2, c2], 1)
         tris = np.concatenate([keep, t1, t2])
+        parents = np.concatenate([keep_p, sp, sp])
+    if return_parents:
+        return tris[:, 0], tris[:, 1], tris[:, 2], parents
     return tris[:, 0], tris[:, 1], tris[:, 2]
 
 
@@ -643,3 +653,23 @@ def closest_point_grid_pallas(
                     jnp.transpose(state[5], inv3[axis]),
                 )
     return state[0], state[2]
+
+
+def normal_sign_from_idx(grid: Grid, ta, tb, tc, dist, idx):
+    """Sign unsigned CPT distances by the nearest triangle's normal side.
+
+    The reference Rtree backend's semantics (`rtree.rs:96-126`): only the
+    single nearest triangle decides the sign, which its own tests allow to
+    disagree with the champion reduction on ~1% of cells near edges
+    (`rtree.rs:171-242`). dot == 0 counts negative (`geo.rs:51-55`).
+    """
+    centers = grid.all_cell_centers().reshape(-1, 3)
+    safe = jnp.maximum(idx.reshape(-1), 0)
+    a = ta[safe]
+    b = tb[safe]
+    c = tc[safe]
+    n = jnp.cross(b - a, c - a)
+    d = jnp.sum((centers - a) * n, axis=-1)
+    sign = jnp.where(d > 0.0, 1.0, -1.0)
+    sign = jnp.where(idx.reshape(-1) < 0, 1.0, sign)
+    return (dist.reshape(-1) * sign).reshape(grid.cell_count)
