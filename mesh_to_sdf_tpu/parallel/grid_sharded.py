@@ -1,0 +1,235 @@
+"""Multi-device grid SDF: CPT sharded over x-slabs of the grid.
+
+The distributed redesign of the flagship pipeline (SURVEY.md §2.3; BASELINE
+config 5 — big grids sharded across a pod slice). Layout: the grid's x axis
+is split into equal slabs across the mesh axis ``cells``; triangles are
+replicated (the soup is tiny next to a big grid; a ``tris``-sharded variant
+all-gathers first).
+
+Per device (shard_map):
+1. **seed + local sweeps** — the ordinary CPT engine on the slab's sub-grid
+   (same static shape per device, shifted ``first_cell``);
+2. **halo exchange** — boundary slices of the CPT state ``ppermute``d to the
+   x-neighbors, merged as candidates, then ±x sweeps re-run locally; repeated
+   ``halo_rounds`` times (distance information decays with distance, and the
+   contract's far-field tolerance absorbs multi-slab tails; near-surface
+   cells are seeded locally and unaffected);
+3. **sign** — y/z line parities are slab-local and exact. For +x rays the
+   crossing count of a cell is (hits after it inside its slab) + (total hits
+   in all LATER slabs): each device computes per-line slab totals, all-
+   gathers them (L ints — tiny), and adds the suffix over later slabs. Exact.
+
+Vote semantics unchanged (≥2 of 3 odd ⇒ inside, `grid.rs:622-639`).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..grid import Grid
+from ..types import F32_MAX, SignMethod
+from ..ops import cpt as cpt_mod
+from ..ops import geometry, raycast as raycast_mod
+from .mesh import CELL_AXIS
+
+
+def _slab_grid(grid: Grid, n_dev: int, slab_idx):
+    nx, ny, nz = grid.cell_count
+    slab_nx = nx // n_dev
+    first = grid.first_cell + jnp.asarray(
+        [slab_idx * slab_nx, 0, 0], jnp.float32
+    ) * grid.cell_size
+    return Grid(first_cell=first, cell_size=grid.cell_size,
+                cell_count=(slab_nx, ny, nz))
+
+
+def _merge_boundary(state: cpt_mod.CptState, nb, position: int, centers):
+    """Merge a neighbor's boundary slice (fields of one x-slice) as candidates
+    for our boundary cells at ``position`` (0 or -1)."""
+    row = cpt_mod.CptState(*[getattr(state, n)[position] for n in state._fields])
+    row = cpt_mod._merge_eval(row, nb.v1, nb.i1, centers)
+    row = cpt_mod._merge_eval(row, nb.v2, nb.i2, centers)
+    out = []
+    for n in state._fields:
+        vol = getattr(state, n)
+        out.append(vol.at[position].set(getattr(row, n)))
+    return cpt_mod.CptState(*out)
+
+
+def _x_sweeps(state, centers):
+    """±x sweeps only (local)."""
+    out = cpt_mod._sweep_axis0(state, centers)
+    rev = cpt_mod.CptState(*[getattr(out, n)[::-1] for n in out._fields])
+    rev = cpt_mod._sweep_axis0(rev, centers[::-1])
+    return cpt_mod.CptState(*[getattr(rev, n)[::-1] for n in rev._fields])
+
+
+def _slice_state(state, position: int):
+    return cpt_mod.CptState(
+        *[getattr(state, n)[position] for n in state._fields]
+    )
+
+
+def generate_grid_sdf_sharded_cpt(
+    vertices,
+    faces,
+    grid: Grid,
+    mesh: Mesh,
+    sign_method: SignMethod = SignMethod.RAYCAST,
+    *,
+    halo_rounds: int = 2,
+) -> jax.Array:
+    """Distributed `generate_grid_sdf` (CPT engine), x-slab sharded.
+
+    vertices (V,3)/faces (M,3) host arrays; grid.cell_count[0] must divide
+    the mesh's ``cells`` axis size. Returns the full (nx*ny*nz,) f32 SDF
+    (x-sharded across devices until materialized).
+    """
+    n_dev = mesh.shape[CELL_AXIS]
+    nx, ny, nz = grid.cell_count
+    if nx % n_dev:
+        raise ValueError(f"nx={nx} must divide devices={n_dev}")
+    slab_nx = nx // n_dev
+
+    v_np = np.asarray(vertices, np.float32)
+    f_np = np.asarray(faces, np.int64)
+    cs = float(np.max(np.abs(np.asarray(grid.cell_size))))
+    ra, rb, rc = cpt_mod.subdivide_to_span(
+        v_np, f_np, max_edge=(cpt_mod.SEED_SPAN - 1.5) * cs
+    )
+    tris = jnp.asarray(np.stack([ra, rb, rc]))  # (3, T, 3) replicated
+    orig = jnp.asarray(
+        np.stack([v_np[f_np[:, 0]], v_np[f_np[:, 1]], v_np[f_np[:, 2]]])
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(CELL_AXIS),
+        check_vma=False,
+    )
+    def run(tris, orig):
+        idx = jax.lax.axis_index(CELL_AXIS)
+        slab = _slab_grid(grid, n_dev, idx)
+        ta, tb, tc = tris[0], tris[1], tris[2]
+
+        dist, tri_idx = cpt_mod.closest_point_grid(slab, ta, tb, tc)
+
+        # Rebuild the full CPT state for halo exchange: re-seed + re-derive
+        # vertex volumes from the final indices (cheaper than carrying state
+        # out of closest_point_grid: gradients/ids suffice).
+        T = ta.shape[0]
+        tv = jnp.concatenate([ta, tb, tc], axis=-1)
+        tv = jnp.concatenate(
+            [tv, jnp.full((1, 9), cpt_mod.PAD_COORD, jnp.float32)], axis=0
+        )
+        verts = tv[jnp.where(tri_idx < 0, T, tri_idx)]
+        state = cpt_mod.CptState(
+            dist, verts, tri_idx,
+            jnp.full_like(dist, F32_MAX), jnp.full_like(verts, cpt_mod.PAD_COORD),
+            jnp.full_like(tri_idx, -1),
+        )
+        centers = slab.all_cell_centers()
+
+        left = (idx - 1) % n_dev
+        right = (idx + 1) % n_dev
+        for _ in range(halo_rounds):
+            # Send my low-x boundary to the left neighbor (their high side)
+            # and my high-x boundary to the right neighbor (their low side).
+            lo = _slice_state(state, 0)
+            hi = _slice_state(state, -1)
+            from_right = cpt_mod.CptState(*[
+                jax.lax.ppermute(
+                    getattr(lo, n), CELL_AXIS,
+                    [(i, (i - 1) % n_dev) for i in range(n_dev)],
+                ) for n in lo._fields
+            ])
+            from_left = cpt_mod.CptState(*[
+                jax.lax.ppermute(
+                    getattr(hi, n), CELL_AXIS,
+                    [(i, (i + 1) % n_dev) for i in range(n_dev)],
+                ) for n in hi._fields
+            ])
+            # Wrap-around neighbors are not real neighbors: mask them out.
+            is_first = idx == 0
+            is_last = idx == n_dev - 1
+            def masknb(nb, is_edge):
+                return cpt_mod.CptState(
+                    jnp.where(is_edge, F32_MAX, nb.d1),
+                    jnp.where(is_edge, cpt_mod.PAD_COORD, nb.v1),
+                    jnp.where(is_edge, -1, nb.i1),
+                    jnp.where(is_edge, F32_MAX, nb.d2),
+                    jnp.where(is_edge, cpt_mod.PAD_COORD, nb.v2),
+                    jnp.where(is_edge, -1, nb.i2),
+                )
+            from_left = masknb(from_left, is_first)
+            from_right = masknb(from_right, is_last)
+            state = _merge_boundary(state, from_left, 0, centers[0])
+            state = _merge_boundary(state, from_right, -1, centers[-1])
+            state = _x_sweeps(state, centers)
+
+        dist = state.d1
+
+        if sign_method == SignMethod.RAYCAST:
+            from ..ops.brute import pad_tri_blocks
+
+            oa, ob, oc = orig[0], orig[1], orig[2]
+            valid = jnp.ones((oa.shape[0],), bool)
+            oa, ob, oc, valid, blk = pad_tri_blocks(oa, ob, oc, valid, 256)
+            # y/z parities: slab-local, exact.
+            odd_y = raycast_mod._axis_parity(
+                slab, 1, oa, ob, oc, valid, blk, 1024
+            )
+            odd_z = raycast_mod._axis_parity(
+                slab, 2, oa, ob, oc, valid, blk, 1024
+            )
+            # x parity: slab counts + suffix of later slabs' totals.
+            origins, lshape = raycast_mod.face_origins(slab, 0)
+            L = origins.shape[0]
+            inside2d, t = geometry.ray_triangle_aligned_2d(
+                origins[:, None, :], oa[None], ob[None], oc[None], 0
+            )
+            hit = inside2d & (t > 0.0) & valid[None, :]
+            csx = slab.cell_size[0]
+            bucket = jnp.where(hit, jnp.floor(t / csx), jnp.inf)
+            cell_f = jnp.arange(slab_nx, dtype=jnp.float32)
+            srt = jnp.sort(bucket, axis=1)
+            n_hits = jnp.sum(hit, axis=1).astype(jnp.int32)  # (L,)
+            below = jax.vmap(
+                lambda row: jnp.searchsorted(row, cell_f, side="left")
+            )(srt).astype(jnp.int32)
+            counts = n_hits[:, None] - below  # (L, slab_nx) suffix in-slab
+            # total hits per line per slab, all slabs:
+            totals = jax.lax.all_gather(n_hits, CELL_AXIS)  # (n_dev, L)
+            later = jnp.sum(
+                jnp.where(
+                    (jnp.arange(n_dev) > idx)[:, None], totals, 0
+                ),
+                axis=0,
+            )
+            counts = counts + later[:, None]
+            odd_x = raycast_mod.unrotate_axis(
+                counts % 2 == 1, 0, lshape, slab_nx
+            )
+            votes = (
+                odd_x.astype(jnp.int32)
+                + odd_y.astype(jnp.int32)
+                + odd_z.astype(jnp.int32)
+            )
+            dist = jnp.where(votes >= 2, -dist, dist)
+        else:
+            dist = cpt_mod.normal_sign_from_idx(
+                slab, tris[0], tris[1], tris[2], dist, state.i1
+            )
+
+        return dist.reshape(-1)
+
+    t = jax.device_put(tris, NamedSharding(mesh, P()))
+    o = jax.device_put(orig, NamedSharding(mesh, P()))
+    return jax.jit(run)(t, o)
