@@ -1,0 +1,218 @@
+"""Slab-streamed grid SDF: very large grids on one chip, bounded memory.
+
+The CPT engine's full per-cell state (2 triangles × 9 vertex coords + ids)
+is ~88 B/cell — a 512³ grid would need ~12 GB of state plus transposes,
+beyond one chip's HBM. This pipeline streams x-slabs through the device the
+way the distributed version shards them (parallel/grid_sharded.py):
+
+- pass 1, left→right: CPT per slab, merging the previous slab's outgoing
+  boundary slice; record each slab's right-edge state and its +x ray hit
+  totals (per transverse line);
+- pass 2, right→left: CPT per slab again (recompute beats storing 88 B/cell),
+  merging the stored left-edge and the successor's outgoing right-edge; sign
+  with y/z parity locally and +x parity from in-slab suffix counts plus the
+  pass-1 totals of all later slabs (exact);
+- distances stream to a host numpy array slab by slab.
+
+One compiled program per pass shape serves every slab (the slab grid differs
+only in its ``first_cell``, which is traced data).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .grid import Grid
+from .types import F32_MAX, SignMethod
+from .ops import cpt as cpt_mod
+from .ops import geometry, raycast as raycast_mod
+from .ops.brute import pad_tri_blocks
+
+
+def _empty_edge(ny, nz):
+    return cpt_mod.CptState(
+        jnp.full((ny, nz), F32_MAX, jnp.float32),
+        jnp.full((ny, nz, 9), cpt_mod.PAD_COORD, jnp.float32),
+        jnp.full((ny, nz), -1, jnp.int32),
+        jnp.full((ny, nz), F32_MAX, jnp.float32),
+        jnp.full((ny, nz, 9), cpt_mod.PAD_COORD, jnp.float32),
+        jnp.full((ny, nz), -1, jnp.int32),
+    )
+
+
+def _state_from(dist, idx, ta, tb, tc):
+    T = ta.shape[0]
+    tv = jnp.concatenate([ta, tb, tc], axis=-1)
+    tv = jnp.concatenate(
+        [tv, jnp.full((1, 9), cpt_mod.PAD_COORD, jnp.float32)], axis=0
+    )
+    verts = tv[jnp.where(idx < 0, T, idx)]
+    return cpt_mod.CptState(
+        dist, verts, idx,
+        jnp.full_like(dist, F32_MAX),
+        jnp.full_like(verts, cpt_mod.PAD_COORD),
+        jnp.full_like(idx, -1),
+    )
+
+
+def _x_sweeps(state, centers):
+    out = cpt_mod._sweep_axis0(state, centers)
+    rev = cpt_mod.CptState(*[getattr(out, n)[::-1] for n in out._fields])
+    rev = cpt_mod._sweep_axis0(rev, centers[::-1])
+    return cpt_mod.CptState(*[getattr(rev, n)[::-1] for n in rev._fields])
+
+
+def _merge_edge(state, edge, position, centers_row):
+    row = cpt_mod.CptState(*[getattr(state, n)[position] for n in state._fields])
+    row = cpt_mod._merge_eval(row, edge.v1, edge.i1, centers_row)
+    row = cpt_mod._merge_eval(row, edge.v2, edge.i2, centers_row)
+    return cpt_mod.CptState(
+        *[getattr(state, n).at[position].set(getattr(row, n))
+          for n in state._fields]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cell_count",))
+def _slab_pass(first_cell, cell_size, cell_count, tris, left_edge, right_edge):
+    """CPT on one slab with optional incoming boundary states (pass INF edges
+    for "none"). Returns (state slab, right edge, left edge)."""
+    slab = Grid(first_cell=first_cell, cell_size=cell_size,
+                cell_count=cell_count)
+    ta, tb, tc = tris[0], tris[1], tris[2]
+    dist, idx = cpt_mod.closest_point_grid(slab, ta, tb, tc)
+    state = _state_from(dist, idx, ta, tb, tc)
+    centers = slab.all_cell_centers()
+    state = _merge_edge(state, left_edge, 0, centers[0])
+    state = _merge_edge(state, right_edge, -1, centers[-1])
+    state = _x_sweeps(state, centers)
+    lo = cpt_mod.CptState(*[getattr(state, n)[0] for n in state._fields])
+    hi = cpt_mod.CptState(*[getattr(state, n)[-1] for n in state._fields])
+    return state, hi, lo
+
+
+@functools.partial(jax.jit, static_argnames=("cell_count",))
+def _slab_sign_raycast(first_cell, cell_size, cell_count, dist, orig):
+    """Sign one slab. All three parities are slab-local: rays cast from this
+    slab's faces see the whole (replicated) mesh, so per-cell suffix counts
+    are complete without any cross-slab bookkeeping."""
+    slab = Grid(first_cell=first_cell, cell_size=cell_size,
+                cell_count=cell_count)
+    oa, ob, oc = orig[0], orig[1], orig[2]
+    valid = jnp.ones((oa.shape[0],), bool)
+    oa_p, ob_p, oc_p, valid_p, blk = pad_tri_blocks(oa, ob, oc, valid, 256)
+    odd_y = raycast_mod._axis_parity(slab, 1, oa_p, ob_p, oc_p, valid_p, blk, 1024)
+    odd_z = raycast_mod._axis_parity(slab, 2, oa_p, ob_p, oc_p, valid_p, blk, 1024)
+
+    slab_nx = cell_count[0]
+    origins, lshape = raycast_mod.face_origins(slab, 0)
+    inside2d, t = geometry.ray_triangle_aligned_2d(
+        origins[:, None, :], oa_p[None], ob_p[None], oc_p[None], 0
+    )
+    hit = inside2d & (t > 0.0) & valid_p[None, :]
+    csx = slab.cell_size[0]
+    bucket = jnp.where(hit, jnp.floor(t / csx), jnp.inf)
+    cell_f = jnp.arange(slab_nx, dtype=jnp.float32)
+    srt = jnp.sort(bucket, axis=1)
+    n_hits = jnp.sum(hit, axis=1).astype(jnp.int32)
+    below = jax.vmap(
+        lambda row: jnp.searchsorted(row, cell_f, side="left")
+    )(srt).astype(jnp.int32)
+    counts = n_hits[:, None] - below  # full suffix, complete per slab
+    odd_x = raycast_mod.unrotate_axis(counts % 2 == 1, 0, lshape, slab_nx)
+    votes = (
+        odd_x.astype(jnp.int32) + odd_y.astype(jnp.int32) + odd_z.astype(jnp.int32)
+    )
+    return jnp.where(votes >= 2, -dist, dist)
+
+
+def generate_grid_sdf_streamed(
+    vertices,
+    faces,
+    grid: Grid,
+    sign_method: SignMethod = SignMethod.RAYCAST,
+    *,
+    slab_nx: Optional[int] = None,
+) -> np.ndarray:
+    """`generate_grid_sdf` for grids too large for one resident CPT state.
+
+    Returns a host numpy array, flat reference layout. ``slab_nx`` defaults
+    to ≤64 slices per slab.
+    """
+    nx, ny, nz = grid.cell_count
+    if slab_nx is None:
+        slab_nx = min(64, nx)
+    if nx % slab_nx:
+        raise ValueError(f"nx={nx} must be a multiple of slab_nx={slab_nx}")
+    n_slabs = nx // slab_nx
+    cell_count = (slab_nx, ny, nz)
+
+    v_np = np.asarray(vertices, np.float32)
+    f_np = np.asarray(faces, np.int64)
+    cs = float(np.max(np.abs(np.asarray(grid.cell_size))))
+    ra, rb, rc = cpt_mod.subdivide_to_span(
+        v_np, f_np, max_edge=(cpt_mod.SEED_SPAN - 1.5) * cs
+    )
+    tris = jnp.asarray(np.stack([ra, rb, rc]))
+    orig = jnp.asarray(
+        np.stack([v_np[f_np[:, 0]], v_np[f_np[:, 1]], v_np[f_np[:, 2]]])
+    )
+
+    def slab_first(i):
+        return grid.first_cell + jnp.asarray(
+            [i * slab_nx, 0, 0], jnp.float32
+        ) * grid.cell_size
+
+    empty = _empty_edge(ny, nz)
+
+    # Pass 1 (left→right): propagate boundary state, collect edges + totals.
+    right_edges = []
+    left_edges = []
+    carry = empty
+    for i in range(n_slabs):
+        _, hi, lo = _slab_pass(
+            slab_first(i), grid.cell_size, cell_count, tris, carry, empty
+        )
+        right_edges.append(jax.tree.map(np.asarray, hi))
+        left_edges.append(jax.tree.map(np.asarray, lo))
+        carry = hi
+
+    # Pass 2 (right→left): final state per slab; sign; stream to host.
+    out = np.empty((nx, ny, nz), np.float32)
+    own_hits = [None] * n_slabs
+    carry = empty
+    states = []
+    for i in reversed(range(n_slabs)):
+        left = (
+            cpt_mod.CptState(*[jnp.asarray(x) for x in right_edges[i - 1]])
+            if i > 0 else empty
+        )
+        state, hi, lo = _slab_pass(
+            slab_first(i), grid.cell_size, cell_count, tris, left, carry
+        )
+        carry = lo
+        states.append((i, state))
+
+        if sign_method != SignMethod.RAYCAST:
+            signed = cpt_mod.normal_sign_from_idx(
+                Grid(first_cell=slab_first(i), cell_size=grid.cell_size,
+                     cell_count=cell_count),
+                tris[0], tris[1], tris[2], state.d1, state.i1,
+            )
+            out[i * slab_nx : (i + 1) * slab_nx] = np.asarray(signed)
+            states.pop()
+        else:
+            states[-1] = (i, (state.d1, state.i1))
+
+    if sign_method == SignMethod.RAYCAST:
+        for i, (d1, _i1) in states:
+            signed = _slab_sign_raycast(
+                slab_first(i), grid.cell_size, cell_count,
+                jnp.asarray(d1), orig,
+            )
+            out[i * slab_nx : (i + 1) * slab_nx] = np.asarray(signed)
+
+    return out.reshape(-1)

@@ -14,10 +14,9 @@ Per device (shard_map):
    ``halo_rounds`` times (distance information decays with distance, and the
    contract's far-field tolerance absorbs multi-slab tails; near-surface
    cells are seeded locally and unaffected);
-3. **sign** — y/z line parities are slab-local and exact. For +x rays the
-   crossing count of a cell is (hits after it inside its slab) + (total hits
-   in all LATER slabs): each device computes per-line slab totals, all-
-   gathers them (L ints — tiny), and adds the suffix over later slabs. Exact.
+3. **sign** — all three parities are slab-local and exact: triangles are
+   replicated, so a +x ray cast from a slab's face counts every crossing to
+   +infinity; the per-cell suffix count needs no cross-device exchange.
 
 Vote semantics unchanged (≥2 of 3 odd ⇒ inside, `grid.rs:622-639`).
 """
@@ -189,9 +188,10 @@ def generate_grid_sdf_sharded_cpt(
             odd_z = raycast_mod._axis_parity(
                 slab, 2, oa, ob, oc, valid, blk, 1024
             )
-            # x parity: slab counts + suffix of later slabs' totals.
+            # x parity is slab-local too: triangles are replicated, so a
+            # ray cast from this slab's face sees every crossing to +inf —
+            # the suffix count per cell needs no cross-device exchange.
             origins, lshape = raycast_mod.face_origins(slab, 0)
-            L = origins.shape[0]
             inside2d, t = geometry.ray_triangle_aligned_2d(
                 origins[:, None, :], oa[None], ob[None], oc[None], 0
             )
@@ -204,16 +204,7 @@ def generate_grid_sdf_sharded_cpt(
             below = jax.vmap(
                 lambda row: jnp.searchsorted(row, cell_f, side="left")
             )(srt).astype(jnp.int32)
-            counts = n_hits[:, None] - below  # (L, slab_nx) suffix in-slab
-            # total hits per line per slab, all slabs:
-            totals = jax.lax.all_gather(n_hits, CELL_AXIS)  # (n_dev, L)
-            later = jnp.sum(
-                jnp.where(
-                    (jnp.arange(n_dev) > idx)[:, None], totals, 0
-                ),
-                axis=0,
-            )
-            counts = counts + later[:, None]
+            counts = n_hits[:, None] - below  # (L, slab_nx) full suffix
             odd_x = raycast_mod.unrotate_axis(
                 counts % 2 == 1, 0, lshape, slab_nx
             )
