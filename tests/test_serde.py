@@ -109,3 +109,90 @@ def test_native_pack_byte_identical(rng):
     py2 = serde.dumps(gsdf)
     nat2 = native.pack_generic_sdf(gsdf.query_points, gsdf.distances)
     assert py2 == nat2
+
+
+# ---------------------------------------------------------------------------
+# Reference-crate rmp-serde V1 interop (`serde.rs:77-155,315-374`)
+# ---------------------------------------------------------------------------
+REF_TESTS = "/root/reference/mesh_to_sdf/tests"
+
+needs_ref = pytest.mark.skipif(
+    not __import__("os").path.isdir(REF_TESTS),
+    reason="reference checkout not mounted",
+)
+
+
+@needs_ref
+def test_reference_golden_generic_v1():
+    """Read the Rust crate's own committed golden file
+    (`tests/sdf_generic_v1.bin`, written by `serde.rs:315-345`)."""
+    back = serde.read_from_file(REF_TESTS + "/sdf_generic_v1.bin")
+    assert isinstance(back, serde.GenericSdf)
+    np.testing.assert_array_equal(
+        back.query_points,
+        np.array([[1, 2, 3], [6, 5, 4]], np.float32),
+    )
+    np.testing.assert_array_equal(back.distances, np.array([1, 3], np.float32))
+
+
+@needs_ref
+def test_reference_golden_grid_v1():
+    """`tests/sdf_grid_v1.bin` (`serde.rs:347-374`): Grid::new([1,2,3],
+    [4,5,6], [7,8,9]) with distances 0..503."""
+    back = serde.read_from_file(REF_TESTS + "/sdf_grid_v1.bin")
+    assert isinstance(back, serde.GridSdf)
+    assert back.grid.cell_count == (7, 8, 9)
+    np.testing.assert_array_equal(
+        np.asarray(back.grid.first_cell), np.array([1, 2, 3], np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(back.grid.cell_size), np.array([4, 5, 6], np.float32)
+    )
+    np.testing.assert_array_equal(
+        back.distances, np.arange(504, dtype=np.float32)
+    )
+
+
+@needs_ref
+def test_reference_write_byte_identical():
+    """dumps_reference reproduces the crate's rmp-serde bytes exactly."""
+    gen = serde.GenericSdf(
+        query_points=np.array([[1, 2, 3], [6, 5, 4]], np.float32),
+        distances=np.array([1, 3], np.float32),
+    )
+    with open(REF_TESTS + "/sdf_generic_v1.bin", "rb") as f:
+        assert serde.dumps_reference(gen) == f.read()
+
+    grid = Grid.new([1, 2, 3], [4, 5, 6], [7, 8, 9])
+    gsdf = serde.GridSdf(grid=grid, distances=np.arange(504, dtype=np.float32))
+    with open(REF_TESTS + "/sdf_grid_v1.bin", "rb") as f:
+        assert serde.dumps_reference(gsdf) == f.read()
+
+
+def test_reference_roundtrip(rng, tmp_path):
+    """Write reference format, auto-detect on read."""
+    sdf = _generic_sdf(rng)
+    path = tmp_path / "ref.bin"
+    serde.save_to_file(path, sdf, format="reference")
+    back = serde.read_from_file(path)
+    assert isinstance(back, serde.GenericSdf)
+    np.testing.assert_array_equal(back.query_points, sdf.query_points)
+    np.testing.assert_array_equal(back.distances, sdf.distances)
+
+    gsdf = _grid_sdf()
+    serde.save_to_file(path, gsdf, format="reference")
+    back = serde.read_from_file(path)
+    assert isinstance(back, serde.GridSdf)
+    np.testing.assert_array_equal(back.distances, gsdf.distances)
+    assert back.grid.cell_count == (3, 4, 5)
+
+
+def test_reference_malformed():
+    import msgpack
+
+    with pytest.raises(serde.SerdeError):
+        serde.loads(msgpack.packb({"V1": {"Nope": []}}, use_bin_type=True))
+    with pytest.raises(serde.SerdeError):
+        serde.loads(msgpack.packb({"V1": {"Grid": [[1, 2], [0.0]]}}))
+    with pytest.raises(serde.SerdeError, match="format"):
+        serde.save_to_file("/dev/null", _grid_sdf(), format="bogus")
