@@ -27,8 +27,10 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     path = os.environ.get("M2S_NATIVE_LIB", str(_LIB_PATH))
-    if not Path(path).exists():
-        # Best-effort build (idempotent, quiet). Never fatal.
+    if not Path(path).exists() and os.environ.get("M2S_NATIVE_BUILD") == "1":
+        # Opt-in build (idempotent, quiet). Never fatal. The library is NOT
+        # committed to version control; build it explicitly with
+        # ``make -C native`` or set M2S_NATIVE_BUILD=1.
         mk = Path(path).parent / "Makefile"
         if mk.exists():
             try:
@@ -168,6 +170,8 @@ def pack_grid_sdf(first_cell, cell_size, cell_count, distances) -> bytes:
         _ptr(fc, ctypes.c_float), _ptr(cs, ctypes.c_float),
         _ptr(cc, ctypes.c_uint32), _ptr(d, ctypes.c_float),
     )
+    if n == 0:
+        raise ValueError("SDF payload exceeds msgpack bin32 (2^32 bytes)")
     out = np.empty(n, np.uint8)
     lib.m2s_copy_packed(_ptr(out, ctypes.c_uint8))
     return out.tobytes()
@@ -181,6 +185,8 @@ def pack_generic_sdf(query_points, distances) -> bytes:
     n = lib.m2s_pack_generic_sdf(
         _ptr(q, ctypes.c_float), _ptr(d, ctypes.c_float), len(q)
     )
+    if n == 0:
+        raise ValueError("SDF payload exceeds msgpack bin32 (2^32 bytes)")
     out = np.empty(n, np.uint8)
     lib.m2s_copy_packed(_ptr(out, ctypes.c_uint8))
     return out.tobytes()

@@ -182,9 +182,11 @@ void m2s_argsort_u64(const uint64_t* keys, uint64_t n, uint32_t* out_perm) {
 namespace {
 struct Writer {
   std::vector<uint8_t> out;
+  bool ok = true;  // cleared when a value cannot be represented
   void u8(uint8_t v) { out.push_back(v); }
   void be16(uint16_t v) { u8(v >> 8); u8(v & 0xFF); }
   void be32(uint32_t v) { be16(v >> 16); be16(v & 0xFFFF); }
+  void be64(uint64_t v) { be32((uint32_t)(v >> 32)); be32((uint32_t)v); }
   void map(uint32_t n) {
     if (n <= 15) u8(0x80 | n);
     else { u8(0xDE); be16((uint16_t)n); }
@@ -200,7 +202,8 @@ struct Writer {
     if (v <= 0x7F) u8((uint8_t)v);
     else if (v <= 0xFF) { u8(0xCC); u8((uint8_t)v); }
     else if (v <= 0xFFFF) { u8(0xCD); be16((uint16_t)v); }
-    else { u8(0xCE); be32((uint32_t)v); }
+    else if (v <= 0xFFFFFFFFull) { u8(0xCE); be32((uint32_t)v); }
+    else { u8(0xCF); be64(v); }
   }
   void sint(int64_t v) {
     if (v >= 0) { uint((uint64_t)v); return; }
@@ -214,6 +217,9 @@ struct Writer {
     for (int i = 7; i >= 0; --i) u8((bits >> (8 * i)) & 0xFF);
   }
   void bin(const uint8_t* p, uint64_t n) {
+    // msgpack bin32 caps payloads below 2^32 bytes; anything larger is an
+    // error, never a silent wrap (matches the Python encoder, which raises).
+    if (n >= (1ull << 32)) { ok = false; return; }
     if (n <= 0xFF) { u8(0xC4); u8((uint8_t)n); }
     else if (n <= 0xFFFF) { u8(0xC5); be16((uint16_t)n); }
     else { u8(0xC6); be32((uint32_t)n); }
@@ -258,6 +264,7 @@ uint64_t m2s_pack_grid_sdf(const float* first_cell, const float* cell_size,
   for (int i = 0; i < 3; ++i) w.uint(cell_count[i]);
   w.str("distances");
   w.array_record("<f4", {n}, (const uint8_t*)distances, n * 4);
+  if (!w.ok) return 0;  // payload exceeds msgpack bin32 — caller raises
   g_last_packed = std::move(w.out);
   return g_last_packed.size();
 }
@@ -275,6 +282,7 @@ uint64_t m2s_pack_generic_sdf(const float* query_points, const float* distances,
   w.array_record("<f4", {count, 3}, (const uint8_t*)query_points, count * 12);
   w.str("distances");
   w.array_record("<f4", {count}, (const uint8_t*)distances, count * 4);
+  if (!w.ok) return 0;  // payload exceeds msgpack bin32 — caller raises
   g_last_packed = std::move(w.out);
   return g_last_packed.size();
 }

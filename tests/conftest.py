@@ -14,6 +14,8 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests opt in to building the native library (it is not in version control).
+os.environ.setdefault("M2S_NATIVE_BUILD", "1")
 
 import jax
 
