@@ -168,51 +168,42 @@ def generate_grid_sdf_streamed(
 
     empty = _empty_edge(ny, nz)
 
-    # Pass 1 (left→right): propagate boundary state, collect edges + totals.
+    # Pass 1 (left→right): propagate boundary state, collect right edges
+    # (host copies — only 2 (ny, nz) slices per slab stay alive).
     right_edges = []
-    left_edges = []
     carry = empty
     for i in range(n_slabs):
-        _, hi, lo = _slab_pass(
+        _, hi, _lo = _slab_pass(
             slab_first(i), grid.cell_size, cell_count, tris, carry, empty
         )
         right_edges.append(jax.tree.map(np.asarray, hi))
-        left_edges.append(jax.tree.map(np.asarray, lo))
         carry = hi
 
-    # Pass 2 (right→left): final state per slab; sign; stream to host.
+    # Pass 2 (right→left): final state per slab; sign IN the loop (keeps at
+    # most one slab's distances live on device — the whole point of
+    # streaming); stream each signed slab straight to the host array.
     out = np.empty((nx, ny, nz), np.float32)
-    own_hits = [None] * n_slabs
     carry = empty
-    states = []
     for i in reversed(range(n_slabs)):
         left = (
             cpt_mod.CptState(*[jnp.asarray(x) for x in right_edges[i - 1]])
             if i > 0 else empty
         )
-        state, hi, lo = _slab_pass(
+        state, _hi, lo = _slab_pass(
             slab_first(i), grid.cell_size, cell_count, tris, left, carry
         )
         carry = lo
-        states.append((i, state))
 
-        if sign_method != SignMethod.RAYCAST:
+        if sign_method == SignMethod.RAYCAST:
+            signed = _slab_sign_raycast(
+                slab_first(i), grid.cell_size, cell_count, state.d1, orig
+            )
+        else:
             signed = cpt_mod.normal_sign_from_idx(
                 Grid(first_cell=slab_first(i), cell_size=grid.cell_size,
                      cell_count=cell_count),
                 tris[0], tris[1], tris[2], state.d1, state.i1,
             )
-            out[i * slab_nx : (i + 1) * slab_nx] = np.asarray(signed)
-            states.pop()
-        else:
-            states[-1] = (i, (state.d1, state.i1))
-
-    if sign_method == SignMethod.RAYCAST:
-        for i, (d1, _i1) in states:
-            signed = _slab_sign_raycast(
-                slab_first(i), grid.cell_size, cell_count,
-                jnp.asarray(d1), orig,
-            )
-            out[i * slab_nx : (i + 1) * slab_nx] = np.asarray(signed)
+        out[i * slab_nx : (i + 1) * slab_nx] = np.asarray(signed)
 
     return out.reshape(-1)
