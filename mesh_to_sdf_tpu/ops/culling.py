@@ -19,9 +19,11 @@ pragmatism (its Rtree sign is allowed ~1% mismatch, `rtree.rs:171-242`).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..grid import Grid
 from ..types import F32_MAX, SignMethod
@@ -33,44 +35,87 @@ DEFAULT_K = 512
 
 
 def select_candidates(tile_centers, tile_radius, ta, tb, tc, valid, k):
-    """Phase A: top-k nearest triangles per tile + overflow flag.
+    """Phase A: top-k nearest triangles per tile + exactness telemetry.
 
     tile_centers: (Nt, 3); tile_radius: scalar or (Nt,). Returns
-    (idx (Nt, k) int32, overflow (Nt,) bool).
+    (idx (Nt, k) int32, overflow (Nt,) bool, n_within (Nt,) int32) where
+    ``n_within`` counts triangles inside the conservative bound — when it
+    exceeds k (``overflow``) the caller re-runs with k ≥ max(n_within),
+    which is guaranteed exact.
     """
     d = geometry.point_triangle_distance(
         tile_centers[:, None, :], ta[None, :, :], tb[None, :, :], tc[None, :, :]
     )
     d = jnp.where(valid[None, :], d, F32_MAX)
     neg_d, idx = jax.lax.top_k(-d, k)  # k smallest distances
-    kth = -neg_d[:, -1]
     dmin = -neg_d[:, 0]
     bound = dmin + 2.0 * tile_radius
-    n_valid = jnp.sum(valid)
-    overflow = (kth <= bound) & (n_valid > k)
-    return idx.astype(jnp.int32), overflow
+    n_within = jnp.sum(d <= bound[:, None], axis=1).astype(jnp.int32)
+    overflow = n_within > k
+    return idx.astype(jnp.int32), overflow, n_within
 
 
 def query_sdf_culled(queries, ta, tb, tc, valid, *, sign_method, raycast_axes=3,
-                     k: int = DEFAULT_K, tile: int = 1024):
-    """generate_sdf with Morton-ordered query tiling + candidate culling.
+                     k: int = DEFAULT_K, tile: int = 1024, parity_bins=None,
+                     n_valid_tris: Optional[int] = None):
+    """generate_sdf with Morton-ordered query tiling + candidate culling —
+    the analog of the reference's Rtree/RtreeBvh backends (`rtree.rs:96-126`,
+    `rtree_bvh.rs:123-173`). Exact: a tile whose bound holds more than k
+    candidates reports overflow and one retry at the measured budget re-runs.
+    Falls back to the fused brute engine when the triangle count is within
+    ~2x of k (culling overhead wouldn't pay).
 
-    Current revision: falls back to the fused brute engine when the triangle
-    count is within ~2x of k (culling overhead wouldn't pay). Raycast parity
-    always sweeps all triangles (a far triangle still crosses a ray) but at
-    per-query cost identical to the brute path; distance uses candidates.
+    Raycast parity: with ``parity_bins`` (a 3-tuple of :class:`ParityBins`,
+    built host-side by :func:`build_parity_bins`) each query counts
+    crossings against its 2D tile's triangle list only — the analog of the
+    reference's per-ray BVH traversal; otherwise all triangles are swept.
     """
-    T = ta.shape[0]
+    T = int(ta.shape[0])
     if T <= 2 * k:
         return brute.sdf_brute(
             queries, ta, tb, tc, valid,
             sign_method=sign_method,
             raycast_axes=raycast_axes if sign_method == SignMethod.RAYCAST else 0,
         )
-    return _query_culled_impl(
-        queries, ta, tb, tc, valid,
-        sign_method=sign_method, raycast_axes=raycast_axes, k=k, tile=tile,
+    n_valid = int(jnp.sum(valid))
+    dist, needed = _query_culled_dist(
+        queries, ta, tb, tc, valid, sign_method=sign_method, k=k, tile=tile
     )
+    if needed is not None:  # some tile's bound holds > k triangles
+        k = _ceil_pow2(needed)
+        if k < n_valid:  # one exact retry at the measured budget
+            dist, needed = _query_culled_dist(
+                queries, ta, tb, tc, valid, sign_method=sign_method, k=k,
+                tile=tile,
+            )
+            assert needed is None
+        else:  # culling cannot pay — dense sweep
+            Q = queries.shape[0]
+            chunk = min(brute.DEFAULT_QUERY_CHUNK, Q)
+            qpad = (-Q) % chunk
+            qp = jnp.pad(queries, ((0, qpad), (0, 0))) if qpad else queries
+            dist = brute.sdf_brute(
+                qp, ta, tb, tc, valid,
+                sign_method=sign_method, raycast_axes=0, query_chunk=chunk,
+            )[:Q]
+
+    if sign_method == SignMethod.RAYCAST:
+        if parity_bins is not None:
+            counts = binned_parity_counts(
+                queries, ta, tb, tc, parity_bins[:raycast_axes],
+                n_valid=n_valid_tris,
+            )
+        else:
+            counts = _ray_parity_counts(
+                queries, ta, tb, tc, valid, raycast_axes
+            )
+        odd = counts % 2 == 1
+        if raycast_axes == 1:
+            inside = odd[:, 0]
+        else:
+            inside = jnp.sum(odd, axis=1) >= 2
+        dist = jnp.where(inside, -dist, dist)
+    return dist
 
 
 # ---------------------------------------------------------------- internals
@@ -93,11 +138,30 @@ def _morton_order(points):
     return jnp.argsort(code)
 
 
+def _ceil_pow2(n: int) -> int:
+    k = 1
+    while k < n:
+        k *= 2
+    return k
+
+
+def _query_culled_dist(queries, ta, tb, tc, valid, *, sign_method, k, tile):
+    """Distance pass (no raycast sign). Returns (dist, needed):
+    ``needed`` is None when the pass is certified exact, else the max
+    within-bound candidate count to rerun with."""
+    dist, overflow, n_within = _query_culled_dist_impl(
+        queries, ta, tb, tc, valid, sign_method=sign_method, k=k, tile=tile
+    )
+    if bool(jnp.any(overflow)):
+        return dist, int(jnp.max(n_within))
+    return dist, None
+
+
 @functools.partial(
-    jax.jit, static_argnames=("sign_method", "raycast_axes", "k", "tile")
+    jax.jit, static_argnames=("sign_method", "k", "tile")
 )
-def _query_culled_impl(queries, ta, tb, tc, valid, *, sign_method, raycast_axes,
-                       k, tile):
+def _query_culled_dist_impl(queries, ta, tb, tc, valid, *, sign_method, k,
+                            tile):
     Q = queries.shape[0]
     order = _morton_order(queries)
     q_sorted = queries[order]
@@ -112,7 +176,9 @@ def _query_culled_impl(queries, ta, tb, tc, valid, *, sign_method, raycast_axes,
         (jnp.max(q_tiles, axis=1) - jnp.min(q_tiles, axis=1)) * 0.5, axis=-1
     )
 
-    idx, overflow = select_candidates(centers, radius, ta, tb, tc, valid, k)
+    idx, overflow, n_within = _select_candidates_chunked(
+        centers, radius, ta, tb, tc, valid, k
+    )
 
     def tile_body(args):
         qt, cand = args
@@ -133,20 +199,122 @@ def _query_culled_impl(queries, ta, tb, tc, valid, *, sign_method, raycast_axes,
 
     dist = jax.lax.map(tile_body, (q_tiles, idx)).reshape(-1)[: Q]
 
-    if sign_method == SignMethod.RAYCAST:
-        # Parity needs ALL triangles — reuse the brute engine's ray counting
-        # at distance-free cost (unsigned distance already known).
-        counts = _ray_parity_counts(q_sorted, ta, tb, tc, valid, raycast_axes)
-        odd = counts % 2 == 1
-        if raycast_axes == 1:
-            inside = odd[:, 0]
-        else:
-            inside = jnp.sum(odd, axis=1) >= 2
-        dist = jnp.where(inside, -dist, dist)
-
     # Undo the Morton sort.
     inv = jnp.zeros_like(order).at[order].set(jnp.arange(Q))
-    return dist[inv]
+    return dist[inv], overflow, n_within
+
+
+class ParityBins(NamedTuple):
+    """Host-precomputed 2D triangle bins for one ray axis.
+
+    The TPU-native analog of the reference's BVH ray traversal
+    (`bvh.rs:62-144`): triangles binned by their transverse (to the ray
+    axis) 2D AABB over a G×G tile grid; a +axis ray from any point only
+    needs the triangles listed in its (y, z) tile — exact, because a hit
+    requires the triangle's 2D AABB to contain the ray's transverse point.
+
+    table: (G*G, K) int32 triangle ids (T = empty); lo2/inv_ts: (2,) f32
+    grid transform; g: int tiles per side.
+    """
+
+    table: object
+    lo2: object
+    inv_ts: object
+    g: int
+
+
+def build_parity_bins(ta, tb, tc, axis: int, *, g: int = 64,
+                      n_valid: Optional[int] = None) -> ParityBins:
+    """Bin triangles by transverse 2D AABB for +``axis`` rays (host numpy)."""
+    ta = np.asarray(ta, np.float32)
+    tb = np.asarray(tb, np.float32)
+    tc = np.asarray(tc, np.float32)
+    T = len(ta) if n_valid is None else int(n_valid)
+    ta, tb, tc = ta[:T], tb[:T], tc[:T]
+    iy, iz = (axis + 1) % 3, (axis + 2) % 3
+    tv2 = np.stack(
+        [ta[:, [iy, iz]], tb[:, [iy, iz]], tc[:, [iy, iz]]], axis=1
+    )  # (T, 3, 2)
+    eps = 1e-5
+    lo = tv2.min(axis=1) - eps
+    hi = tv2.max(axis=1) + eps
+    if T == 0:
+        return ParityBins(
+            np.zeros((g * g, 1), np.int32), np.zeros(2, np.float32),
+            np.ones(2, np.float32), g,
+        )
+    gl = lo.min(axis=0)
+    gh = hi.max(axis=0)
+    ts = np.maximum((gh - gl) / g, 1e-12)
+    lo_t = np.clip(np.floor((lo - gl) / ts).astype(np.int64), 0, g - 1)
+    hi_t = np.clip(np.floor((hi - gl) / ts).astype(np.int64), 0, g - 1)
+    w = hi_t - lo_t + 1
+    n_per = w[:, 0] * w[:, 1]
+    starts = np.zeros(T + 1, np.int64)
+    np.cumsum(n_per, out=starts[1:])
+    E = int(starts[-1])
+    tri_of = np.repeat(np.arange(T, dtype=np.int64), n_per)
+    within = np.arange(E, dtype=np.int64) - starts[tri_of]
+    dy = within // w[tri_of, 1]
+    dz = within % w[tri_of, 1]
+    tile = (lo_t[tri_of, 0] + dy) * g + (lo_t[tri_of, 1] + dz)
+
+    order = np.argsort(tile, kind="stable")
+    tile_s = tile[order]
+    tri_s = tri_of[order].astype(np.int32)
+    seg_start = np.empty(E, bool)
+    seg_start[0] = True
+    np.not_equal(tile_s[1:], tile_s[:-1], out=seg_start[1:])
+    seg_first = np.flatnonzero(seg_start)
+    seg_id = np.cumsum(seg_start) - 1
+    rank = np.arange(E, dtype=np.int64) - seg_first[seg_id]
+    counts = np.diff(np.append(seg_first, E))
+    K = int(counts.max())
+    table = np.full((g * g, K), T, np.int32)
+    table[tile_s, rank] = tri_s
+    return ParityBins(
+        table, gl.astype(np.float32), (1.0 / ts).astype(np.float32), g
+    )
+
+
+def binned_parity_counts(queries, ta, tb, tc, bins3, *,
+                         n_valid: Optional[int] = None, chunk: int = 2048):
+    """Crossing counts (Q, axes) using per-axis 2D tile bins.
+
+    Exact replacement for :func:`_ray_parity_counts`: each query gathers only
+    its tile's triangle list (typically 100-1000× smaller than the soup).
+    ``n_valid``: real triangle count (= the bins' empty-slot sentinel) when
+    ``ta`` carries padded rows.
+    """
+    Q = queries.shape[0]
+    T = int(ta.shape[0]) if n_valid is None else int(n_valid)
+    chunk = min(chunk, max(Q, 1))
+    pad = (-Q) % chunk
+    qp = jnp.pad(queries, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+
+    tables = [jnp.asarray(b.table) for b in bins3]
+    los = [jnp.asarray(b.lo2) for b in bins3]
+    invs = [jnp.asarray(b.inv_ts) for b in bins3]
+
+    def chunk_body(qc):
+        outs = []
+        for axis, b in enumerate(bins3):
+            iy, iz = (axis + 1) % 3, (axis + 2) % 3
+            q2 = jnp.stack([qc[:, iy], qc[:, iz]], axis=-1)
+            t2 = jnp.clip(
+                jnp.floor((q2 - los[axis]) * invs[axis]).astype(jnp.int32),
+                0, b.g - 1,
+            )
+            lists = tables[axis][t2[:, 0] * b.g + t2[:, 1]]  # (chunk, K)
+            v = lists < jnp.int32(T)
+            safe = jnp.minimum(lists, T - 1)
+            hit, _ = geometry.ray_triangle_aligned(
+                qc[:, None, :], ta[safe], tb[safe], tc[safe], axis
+            )
+            outs.append(jnp.sum(hit & v, axis=1, dtype=jnp.int32))
+        return jnp.stack(outs, axis=-1)
+
+    return jax.lax.map(chunk_body, qp).reshape(-1, len(bins3))[:Q]
 
 
 def _ray_parity_counts(queries, ta, tb, tc, valid, raycast_axes,
@@ -181,13 +349,121 @@ def _ray_parity_counts(queries, ta, tb, tc, valid, raycast_axes,
     return jax.lax.map(chunk_body, qp).reshape(-1, raycast_axes)[:Q]
 
 
-def grid_distance_culled(grid: Grid, ta, tb, tc, valid, *, sign,
-                         k: int = DEFAULT_K):
-    """Grid unsigned/normal-signed distances via per-tile culling.
+#: Tile edge (cells) for grid culling; 8^3 = 512 cells per tile.
+GRID_TILE = 8
+#: Tiles per selection chunk (bounds the (chunk, T) distance matrix).
+SELECT_CHUNK = 512
 
-    Current revision: delegates to the fused brute engine; the tiled Pallas
-    candidate kernel lands with ops/kernels. (Sign handled by caller.)
+
+def _select_candidates_chunked(tile_centers, tile_radius, ta, tb, tc, valid, k,
+                               chunk: int = SELECT_CHUNK):
+    """:func:`select_candidates` over tile chunks (bounded memory)."""
+    Nt = tile_centers.shape[0]
+    chunk = min(chunk, Nt)
+    pad = (-Nt) % chunk
+    c_p = jnp.pad(tile_centers, ((0, pad), (0, 0)))
+    r_p = jnp.pad(jnp.broadcast_to(tile_radius, (Nt,)), (0, pad))
+
+    def body(args):
+        c, r = args
+        return select_candidates(c, r, ta, tb, tc, valid, k)
+
+    idx, ovf, n_within = jax.lax.map(
+        body, (c_p.reshape(-1, chunk, 3), r_p.reshape(-1, chunk))
+    )
+    return (
+        idx.reshape(-1, k)[:Nt],
+        ovf.reshape(-1)[:Nt],
+        n_within.reshape(-1)[:Nt],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("sign", "k", "tile"))
+def _grid_culled_impl(grid: Grid, ta, tb, tc, valid, *, sign, k, tile):
+    """One culled pass over the grid. Returns (dist3, overflow (n_tiles,))."""
+    nx, ny, nz = grid.cell_count
+    t = tile
+    px, py, pz = (-nx) % t, (-ny) % t, (-nz) % t
+    centers = grid.all_cell_centers()
+    # Edge-pad so every axis divides the tile edge; padded cells reuse edge
+    # centers (valid geometry, sliced away at the end).
+    centers = jnp.pad(
+        centers, ((0, px), (0, py), (0, pz), (0, 0)), mode="edge"
+    )
+    X, Y, Z = nx + px, ny + py, nz + pz
+    tiles = (
+        centers.reshape(X // t, t, Y // t, t, Z // t, t, 3)
+        .transpose(0, 2, 4, 1, 3, 5, 6)
+        .reshape(-1, t * t * t, 3)
+    )
+    tmin = jnp.min(tiles, axis=1)
+    tmax = jnp.max(tiles, axis=1)
+    tile_c = (tmin + tmax) * 0.5
+    radius = jnp.linalg.norm((tmax - tmin) * 0.5, axis=-1)
+
+    idx, overflow, n_within = _select_candidates_chunked(
+        tile_c, radius, ta, tb, tc, valid, k
+    )
+
+    def tile_body(args):
+        qt, cand = args
+        a = ta[cand]
+        b = tb[cand]
+        c = tc[cand]
+        v = valid[cand]
+        if sign == SignMethod.NORMAL:
+            sd = geometry.point_triangle_signed_distance(
+                qt[:, None, :], a[None], b[None], c[None]
+            )
+            neg = jnp.signbit(sd)
+            minpos = jnp.min(jnp.where(v[None] & ~neg, sd, F32_MAX), axis=1)
+            minneg = jnp.min(jnp.where(v[None] & neg, -sd, F32_MAX), axis=1)
+            return combine_champions(minpos, minneg)
+        d = geometry.point_triangle_distance(
+            qt[:, None, :], a[None], b[None], c[None]
+        )
+        return jnp.min(jnp.where(v[None], d, F32_MAX), axis=1)
+
+    dist = jax.lax.map(tile_body, (tiles, idx))  # (n_tiles, t^3)
+    dist3 = (
+        dist.reshape(X // t, Y // t, Z // t, t, t, t)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(X, Y, Z)[:nx, :ny, :nz]
+    )
+    return dist3, overflow, n_within
+
+
+def grid_distance_culled(grid: Grid, ta, tb, tc, valid, *, sign,
+                         k: int = DEFAULT_K, tile: int = GRID_TILE):
+    """Grid unsigned/normal-signed distances via per-tile candidate culling —
+    the TPU-native analog of the reference's R-tree grid backend
+    (`rtree.rs:96-126`): exact by construction.
+
+    Phase A selects, per 8^3-cell tile, the top-k triangles by distance to
+    the tile center; the triangle-inequality bound ``d(center, tri) ≤ dmin +
+    2·radius`` certifies when k candidates suffice. If any tile's bound
+    holds more than k triangles (``overflow``), one retry at the measured
+    count runs — so the result equals the full reduction, always.
+    Phase B evaluates the exact (cells × k) distance block per tile.
+    (Raycast sign is handled by the caller's line-parity kernels.)
     """
+    T = int(ta.shape[0])
+    n_valid = int(jnp.sum(valid)) if T else 0
+    if k < n_valid:
+        dist3, overflow, n_within = _grid_culled_impl(
+            grid, ta, tb, tc, valid, sign=sign, k=k, tile=tile
+        )
+        if not bool(jnp.any(overflow)):
+            return dist3
+        k = _ceil_pow2(int(jnp.max(n_within)))
+        if k < n_valid:
+            dist3, overflow, _ = _grid_culled_impl(
+                grid, ta, tb, tc, valid, sign=sign, k=k, tile=tile
+            )
+            assert not bool(jnp.any(overflow))
+            return dist3
+
+    # Candidate budget ≥ triangle count: culling cannot pay — dense sweep.
     centers = grid.all_cell_centers().reshape(-1, 3)
     N = centers.shape[0]
     chunk = min(brute.DEFAULT_QUERY_CHUNK, N)

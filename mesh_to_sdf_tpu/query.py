@@ -111,9 +111,20 @@ def generate_sdf(
     if strategy == Strategy.CULLED and n_tris > 0:
         from .ops import culling
 
+        parity_bins = None
+        if sign == SignMethod.RAYCAST and n_tris > 2 * culling.DEFAULT_K:
+            # Host 2D binning (≙ the reference's BVH build phase,
+            # `rtree_bvh.rs:108-119`): each ray then tests only its tile's
+            # triangles instead of the whole soup.
+            ha, hb, hc = (np.asarray(x[:n_tris]) for x in (ta, tb, tc))
+            parity_bins = tuple(
+                culling.build_parity_bins(ha, hb, hc, axis)
+                for axis in range(raycast_axes)
+            )
         return culling.query_sdf_culled(
             jnp.asarray(q), ta, tb, tc, valid,
             sign_method=sign, raycast_axes=raycast_axes,
+            parity_bins=parity_bins, n_valid_tris=n_tris,
         )[:Q]
 
     chunk = min(query_chunk, max(Q, 1))

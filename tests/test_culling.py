@@ -1,0 +1,201 @@
+"""Strategy.CULLED tests — the analog of the reference's Rtree/RtreeBvh
+backends (`rtree.rs:96-126`, `bvh_ext.rs:59-168`, `rtree_bvh.rs:123-173`).
+
+Coverage: the real candidate path above the brute-fallback threshold, the
+overflow → widened-k retry (exactness under dense tiles), the grid variant
+vs the dense engine, and the select_candidates bound semantics.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mesh_to_sdf_tpu as m
+from mesh_to_sdf_tpu import Grid, SignMethod, Strategy, Topology
+from mesh_to_sdf_tpu.ops import culling
+from mesh_to_sdf_tpu.query import prepare_triangles
+
+from baselines import make_icosphere
+
+
+@pytest.fixture(scope="module")
+def big_sphere():
+    # subdiv=4 → 5120 triangles: above the T ≤ 2k fallback threshold, so the
+    # real culled path runs.
+    return make_icosphere(subdiv=4)
+
+
+def _tris(verts, faces):
+    topo = Topology.triangle_list(faces.reshape(-1))
+    return prepare_triangles(verts, topo, 512)
+
+
+def test_query_culled_matches_xla(big_sphere, rng):
+    verts, faces = big_sphere
+    topo = Topology.triangle_list(faces.reshape(-1))
+    q = rng.uniform(-1.4, 1.4, (1500, 3)).astype(np.float32)
+    for sign in (SignMethod.RAYCAST, SignMethod.NORMAL):
+        exact = np.asarray(
+            m.generate_sdf(verts, topo, q, Strategy.XLA, sign_method=sign)
+        )
+        culled = np.asarray(
+            m.generate_sdf(verts, topo, q, Strategy.CULLED, sign_method=sign)
+        )
+        np.testing.assert_allclose(culled, exact, rtol=1e-5, atol=1e-6,
+                                   err_msg=str(sign))
+
+
+def test_query_culled_overflow_retry_is_exact(big_sphere, rng):
+    """A tiny k forces overflow; the informed retry must restore exactness."""
+    verts, faces = big_sphere
+    ta, tb, tc, valid, _ = _tris(verts, faces)
+    q = jnp.asarray(rng.uniform(-1.3, 1.3, (600, 3)).astype(np.float32))
+
+    # Verify the small-k pass alone is genuinely flagged as unreliable.
+    _, needed = culling._query_culled_dist(
+        q, ta, tb, tc, valid, sign_method=SignMethod.NORMAL, k=8, tile=256
+    )
+    assert needed is not None and needed > 8
+
+    got = np.asarray(
+        culling.query_sdf_culled(
+            q, ta, tb, tc, valid,
+            sign_method=SignMethod.NORMAL, k=8, tile=256,
+        )
+    )
+    want = np.asarray(
+        m.generate_sdf(
+            verts, Topology.triangle_list(faces.reshape(-1)), np.asarray(q),
+            Strategy.XLA, sign_method=SignMethod.NORMAL,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_grid_culled_matches_dense(big_sphere):
+    verts, faces = big_sphere
+    topo = Topology.triangle_list(faces.reshape(-1))
+    grid = Grid.from_bounding_box([-1.3] * 3, [1.3] * 3, [12, 14, 10])
+    for sign in (SignMethod.RAYCAST, SignMethod.NORMAL):
+        dense = np.asarray(
+            m.generate_grid_sdf(verts, topo, grid, sign, strategy=Strategy.XLA)
+        )
+        culled = np.asarray(
+            m.generate_grid_sdf(verts, topo, grid, sign,
+                                strategy=Strategy.CULLED)
+        )
+        np.testing.assert_allclose(culled, dense, rtol=1e-5, atol=1e-6,
+                                   err_msg=str(sign))
+
+
+def test_grid_culled_small_k_retry(big_sphere):
+    """Direct grid-culled call with a pathologically small k stays exact."""
+    verts, faces = big_sphere
+    ta, tb, tc, valid, _ = _tris(verts, faces)
+    grid = Grid.from_bounding_box([-1.2] * 3, [1.2] * 3, [9, 9, 9])
+    got = np.asarray(
+        culling.grid_distance_culled(
+            grid, ta, tb, tc, valid, sign=SignMethod.RAYCAST, k=4
+        )
+    )
+    centers = grid.all_cell_centers().reshape(-1, 3)
+    from mesh_to_sdf_tpu.ops import brute
+
+    want = np.asarray(
+        brute.sdf_brute(
+            centers, ta, tb, tc, valid,
+            sign_method=SignMethod.RAYCAST, raycast_axes=0,
+            query_chunk=centers.shape[0],
+        )
+    ).reshape(grid.cell_count)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_select_candidates_bound_semantics():
+    """Triangles beyond the bound must be prunable; within-bound counted."""
+    # Triangles on a line: one near the tile, the rest far away.
+    ta = np.array([[0.0, 0, 0], [10, 0, 0], [11, 0, 0], [12, 0, 0]], np.float32)
+    tb = ta + np.array([0.1, 0, 0], np.float32)
+    tc = ta + np.array([0, 0.1, 0], np.float32)
+    valid = jnp.ones((4,), bool)
+    centers = jnp.asarray([[0.0, 0.0, 0.0]])
+    idx, ovf, n_within = culling.select_candidates(
+        centers, jnp.asarray(0.05), jnp.asarray(ta), jnp.asarray(tb),
+        jnp.asarray(tc), valid, k=2,
+    )
+    assert int(idx[0, 0]) == 0  # nearest first
+    assert not bool(ovf[0])  # only triangle 0 is within dmin + 2r
+    assert int(n_within[0]) == 1
+
+    # Huge tile radius → everything within bound → overflow at k=2.
+    idx, ovf, n_within = culling.select_candidates(
+        centers, jnp.asarray(100.0), jnp.asarray(ta), jnp.asarray(tb),
+        jnp.asarray(tc), valid, k=2,
+    )
+    assert bool(ovf[0])
+    assert int(n_within[0]) == 4
+
+
+def test_rtree_bvh_acceleration_methods_route_to_culled(big_sphere, rng):
+    """AccelerationMethod.rtree()/rtree_bvh() — the reference's best backends
+    (`README.md:120`) — must produce exact results through the public API."""
+    verts, faces = big_sphere
+    topo = Topology.triangle_list(faces.reshape(-1))
+    q = rng.uniform(-1.2, 1.2, (400, 3)).astype(np.float32)
+    exact_ray = np.asarray(
+        m.generate_sdf(verts, topo, q, Strategy.XLA,
+                       sign_method=SignMethod.RAYCAST)
+    )
+    got = np.asarray(
+        m.generate_sdf(verts, topo, q, m.AccelerationMethod.rtree_bvh())
+    )
+    np.testing.assert_allclose(got, exact_ray, rtol=1e-5, atol=1e-6)
+
+    exact_norm = np.asarray(
+        m.generate_sdf(verts, topo, q, Strategy.XLA,
+                       sign_method=SignMethod.NORMAL)
+    )
+    got = np.asarray(
+        m.generate_sdf(verts, topo, q, m.AccelerationMethod.rtree())
+    )
+    np.testing.assert_allclose(np.abs(got), np.abs(exact_norm), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_binned_parity_matches_full_sweep(big_sphere, rng):
+    """2D-tile-binned crossing counts == the full O(Q·T) sweep (exactness of
+    the BVH-traversal analog)."""
+    import jax.numpy as jnp
+
+    verts, faces = big_sphere
+    ta, tb, tc, valid, n = _tris(verts, faces)
+    q = jnp.asarray(rng.uniform(-1.5, 1.5, (800, 3)).astype(np.float32))
+    bins = tuple(
+        culling.build_parity_bins(
+            np.asarray(ta[:n]), np.asarray(tb[:n]), np.asarray(tc[:n]), axis
+        )
+        for axis in range(3)
+    )
+    got = np.asarray(
+        culling.binned_parity_counts(q, ta, tb, tc, bins, n_valid=n)
+    )
+    want = np.asarray(
+        culling._ray_parity_counts(q, ta, tb, tc, valid, 3)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_query_culled_with_parity_bins_end_to_end(big_sphere, rng):
+    """Full public-API path: CULLED + host parity bins == exact engine."""
+    verts, faces = big_sphere
+    topo = Topology.triangle_list(faces.reshape(-1))
+    q = rng.uniform(-1.4, 1.4, (1200, 3)).astype(np.float32)
+    exact = np.asarray(
+        m.generate_sdf(verts, topo, q, Strategy.XLA,
+                       sign_method=SignMethod.RAYCAST)
+    )
+    # 5120 tris > 2*DEFAULT_K=1024 → generate_sdf builds parity bins.
+    culled = np.asarray(
+        m.generate_sdf(verts, topo, q, Strategy.CULLED,
+                       sign_method=SignMethod.RAYCAST)
+    )
+    np.testing.assert_allclose(culled, exact, rtol=1e-5, atol=1e-6)
