@@ -35,44 +35,87 @@ from .ops import brute, raycast
 from .ops import raycast as raycast_mod
 from .query import prepare_triangles, _resolve
 
+#: AUTO-strategy cost model (TPU v5e measurements, BENCH.md): dense-engine
+#: pair throughput, CPT fixed overhead, CPT cell throughput.
+AUTO_DENSE_PAIRS_PER_S = 5.0e10
+AUTO_CPT_OVERHEAD_S = 0.15
+AUTO_CPT_CELLS_PER_S = 2.0e8
 
-@functools.partial(jax.jit, static_argnames=("raycast", "on_tpu", "flat"))
-def _cpt_grid_signed(grid, tris, tris_orig, raycast: bool, on_tpu: bool,
-                     flat: bool):
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("raycast", "on_tpu", "flat", "raycast_axes",
+                     "seed_rounds"),
+)
+def _cpt_grid_signed(grid, tris, tris_orig, seed_entry, seed_rows,
+                     raycast: bool, on_tpu: bool, flat: bool,
+                     raycast_axes: int = 3, seed_rounds: int = 0):
     """Fused CPT distance + sign for one grid (single dispatch).
 
-    tris: (3, T, 3) stacked *subdivided* triangles (seed-window coverage);
+    tris: (3, T, 3) stacked triangles (subdivided only to bound the seed
+    rasterization volume); seed_entry/seed_rows/seed_rounds: host-binned
+    seed gather lists (cpt.build_seed_bins — exact AABB±1 coverage);
     tris_orig: (3, T0, 3) original triangles — raycast parity is
-    subdivision-invariant, so the sign pass uses the smaller soup."""
+    subdivision-invariant, so the sign pass uses the smaller soup.
+
+    Returns (signed distances, parity-overflow count). A nonzero overflow
+    means the Pallas parity kernel dropped crossings (more than K_DISTINCT
+    distinct hit buckets in one triangle sub-block) and the caller must
+    re-sign via the exact engine — see :func:`_exact_resign`.
+    """
     from .ops import cpt as cpt_mod
 
     ra, rb, rc = tris[0], tris[1], tris[2]
+    seed = cpt_mod.seed_from_bins(
+        grid, ra, rb, rc,
+        cpt_mod.SeedBins(seed_entry, seed_rows, seed_rounds),
+    )
     if on_tpu:
-        dist3, idx3 = cpt_mod.closest_point_grid_pallas(grid, ra, rb, rc)
+        dist3, idx3 = cpt_mod.closest_point_grid_pallas(
+            grid, ra, rb, rc, seed=seed
+        )
     else:
-        dist3, idx3 = cpt_mod.closest_point_grid(grid, ra, rb, rc)
+        dist3, idx3 = cpt_mod.closest_point_grid(grid, ra, rb, rc, seed=seed)
+    ovf = jnp.zeros((), jnp.int32)
     if not raycast:
         # Normal sign from the nearest triangle — the reference Rtree
         # backend's semantics (`rtree.rs:96-126`, ~1% of near-edge cells may
         # differ from the champion reduction, as its own tests allow).
-        return cpt_mod.normal_sign_from_idx(
-            grid, ra, rb, rc, dist3, idx3
-        ).reshape(-1) if flat else cpt_mod.normal_sign_from_idx(
-            grid, ra, rb, rc, dist3, idx3
-        )
-    if raycast:
+        dist3 = cpt_mod.normal_sign_from_idx(grid, ra, rb, rc, dist3, idx3)
+    else:
         oa, ob, oc = tris_orig[0], tris_orig[1], tris_orig[2]
         if on_tpu:
             from .ops.kernels import pallas_parity
 
-            inside, _ovf = pallas_parity.grid_inside_mask_pallas(grid, oa, ob, oc)
+            inside, ovf = pallas_parity.grid_inside_mask_pallas(
+                grid, oa, ob, oc, axes=raycast_axes
+            )
         else:
             valid = jnp.ones((oa.shape[0],), bool)
             inside = raycast_mod.grid_inside_mask(
-                grid, oa, ob, oc, valid, tri_block=256
+                grid, oa, ob, oc, valid, tri_block=256, axes=raycast_axes
             )
         dist3 = jnp.where(inside, -dist3, dist3)
-    return dist3.reshape(-1) if flat else dist3
+    return (dist3.reshape(-1) if flat else dist3), ovf
+
+
+def _exact_resign(signed, vertices, topology, grid, raycast_axes, tri_block,
+                  flat):
+    """Re-sign |signed| with the exact XLA line-parity engine.
+
+    Fallback when the Pallas parity kernel reports overflow (dropped
+    crossings): rare, so the extra dispatch only happens when correctness
+    demands it.
+    """
+    ta, tb, tc, valid, n_tris = prepare_triangles(vertices, topology, tri_block)
+    inside = raycast.grid_inside_mask(
+        grid, ta, tb, tc, valid, tri_block=min(tri_block, 256),
+        axes=raycast_axes,
+    )
+    if flat:
+        inside = inside.reshape(-1)
+    mag = jnp.abs(signed)
+    return jnp.where(inside, -mag, mag)
 
 
 def _count_triangles(vertices, topology) -> int:
@@ -97,26 +140,41 @@ def generate_grid_sdf(
     tri_block: int = brute.DEFAULT_TRI_BLOCK,
     query_chunk: int = brute.DEFAULT_QUERY_CHUNK,
     flat: bool = True,
+    exact: bool = False,
 ) -> jax.Array:
     """SDF at every cell center of ``grid``.
 
     Returns float32 distances, flattened in the reference's x-major/z-fastest
     layout (`grid.rs:122-124`) when ``flat=True``, else shaped (nx, ny, nz).
     Positive outside, negative inside (`grid.rs:199-232`).
+
+    ``raycast_axes``: 3 (default) = best-of-3 axis parity voting
+    (`grid.rs:622-639`); 1 = single +X parity (the reference ``None``
+    backend's semantics, `default.rs:34-37` — cheaper, less robust near
+    shared edges).
+
+    ``exact=True`` guarantees the reference's grid == brute-at-centers bar
+    (`grid.rs:692-724`) regardless of grid size: AUTO's approximate CPT
+    route is replaced by the exact tile-culled engine (the XLA / PALLAS /
+    CULLED strategies are exact either way; CPT trades ≤2% far-field error
+    for O(cells) cost).
     """
     from .query import _auto_strategy
 
     strategy, sign = _resolve(
         strategy if strategy is not None else Strategy.AUTO, sign_method
     )
+    if exact and strategy in (Strategy.AUTO, Strategy.CPT):
+        strategy = Strategy.CULLED
     if strategy == Strategy.AUTO:
-        # Cost model: the dense engine is O(cells·tris) at ~5e10 pairs/s
-        # (Pallas, TPU); CPT is O(cells) sweeps plus a fixed transpose/scan
-        # overhead. Below the crossover the dense sweep wins outright.
+        # Cost model: the dense engine is O(cells·tris); CPT is O(cells)
+        # sweeps plus a fixed overhead. Below the crossover the dense sweep
+        # wins outright. Constants are measured on TPU v5e (BENCH.md) and
+        # overridable for other platforms.
         n_cells = grid.total_cell_count
         n_t = _count_triangles(vertices, topology)
-        dense_cost = n_cells * max(n_t, 1) / 5.0e10
-        cpt_cost = 0.15 + n_cells / 2.0e8
+        dense_cost = n_cells * max(n_t, 1) / AUTO_DENSE_PAIRS_PER_S
+        cpt_cost = AUTO_CPT_OVERHEAD_S + n_cells / AUTO_CPT_CELLS_PER_S
         strategy = Strategy.CPT if cpt_cost < dense_cost else _auto_strategy()
 
 
@@ -130,24 +188,46 @@ def generate_grid_sdf(
         topo = topology if topology is not None else _T.triangle_list(None)
         ha, hb, hc = gather_triangle_vertices(v_host, topo)
         if len(ha) > 0:
-            # Subdivide oversized triangles so every seed window covers its
-            # triangle (surface-identical ⇒ distances/sign unchanged).
+            # Seeds come from host-binned AABB±1 rasterization (exact
+            # coverage, no fixed window). Subdivision is only needed to
+            # bound a giant triangle's rasterized volume — a loose 8-cell
+            # edge cap (surface-identical ⇒ distances/sign unchanged).
             cs = float(np.max(np.abs(np.asarray(grid.cell_size))))
             tris_np = np.stack([ha, hb, hc], axis=1)  # (T, 3, 3)
-            ra, rb, rc = cpt_mod.subdivide_to_span(
-                tris_np.reshape(-1, 3),
-                np.arange(3 * len(ha), dtype=np.int64).reshape(-1, 3),
-                max_edge=(cpt_mod.SEED_SPAN - 1.5) * cs,
+            edges = np.linalg.norm(
+                tris_np - np.roll(tris_np, 1, axis=1), axis=2
             )
+            max_edge = 8.0 * cs
+            if float(edges.max()) > max_edge:
+                ra, rb, rc = cpt_mod.subdivide_to_span(
+                    tris_np.reshape(-1, 3),
+                    np.arange(3 * len(ha), dtype=np.int64).reshape(-1, 3),
+                    max_edge=max_edge,
+                )
+            else:
+                ra, rb, rc = tris_np[:, 0], tris_np[:, 1], tris_np[:, 2]
+            bins = cpt_mod.build_seed_bins(grid, ra, rb, rc)
             # One upload + one jitted program for the whole device pipeline.
-            return _cpt_grid_signed(
+            out, ovf = _cpt_grid_signed(
                 grid,
                 jnp.asarray(np.stack([ra, rb, rc])),
                 jnp.asarray(np.stack([ha, hb, hc])),
+                jnp.asarray(bins.entry_tri),
+                jnp.asarray(bins.rows_cell),
                 raycast=sign == SignMethod.RAYCAST,
                 on_tpu=jax.default_backend() == "tpu",
                 flat=flat,
+                raycast_axes=raycast_axes,
+                seed_rounds=bins.n_shift_rounds,
             )
+            if sign == SignMethod.RAYCAST and int(ovf) > 0:
+                # Pallas parity dropped crossings (> K_DISTINCT distinct hit
+                # buckets in one sub-block — deep depth complexity). Re-sign
+                # with the exact XLA engine rather than ship a wrong sign.
+                out = _exact_resign(
+                    out, vertices, topology, grid, raycast_axes, tri_block, flat
+                )
+            return out
 
     ta, tb, tc, valid, n_tris = prepare_triangles(vertices, topology, tri_block)
 
@@ -197,12 +277,19 @@ def generate_grid_sdf(
         if jax.default_backend() == "tpu" and n_tris > 0:
             from .ops.kernels import pallas_parity
 
-            inside, _ovf = pallas_parity.grid_inside_mask_pallas(
-                grid, ta[:n_tris], tb[:n_tris], tc[:n_tris]
+            inside, ovf = pallas_parity.grid_inside_mask_pallas(
+                grid, ta[:n_tris], tb[:n_tris], tc[:n_tris], axes=raycast_axes
             )
+            if int(ovf) > 0:
+                # Dropped crossings — fall back to the exact XLA parity.
+                inside = raycast.grid_inside_mask(
+                    grid, ta, tb, tc, valid, tri_block=min(tri_block, 256),
+                    axes=raycast_axes,
+                )
         else:
             inside = raycast.grid_inside_mask(
-                grid, ta, tb, tc, valid, tri_block=min(tri_block, 256)
+                grid, ta, tb, tc, valid, tri_block=min(tri_block, 256),
+                axes=raycast_axes,
             )
         dist3 = jnp.where(inside, -dist3, dist3)
 

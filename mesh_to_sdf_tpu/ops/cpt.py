@@ -119,7 +119,14 @@ def _seed(grid: Grid, ta, tb, tc, span: int, runner_up: bool = True):
 
     Returns (dist (N,), tri_idx (N,), second-best dist/idx (N,)).
     ``runner_up=False`` skips the slot-2 scatters (the sweeps repopulate the
-    runner-up from neighbors; quality measured in tests)."""
+    runner-up from neighbors; quality measured in tests).
+
+    Coverage: the AABB±1 range can span up to ``span + 2`` cells per axis at
+    the subdivision bound (max_edge = (span-1.5)·cs), so TWO span-sized
+    windows are rasterized per triangle — one anchored at the low corner,
+    one ending at the high corner. Their union covers ranges up to 2·span
+    cells, i.e. the full AABB±1 (closing the round-1 gap where the top 1-2
+    cells of a window got no direct seed)."""
     nx, ny, nz = grid.cell_count
     N = nx * ny * nz
     T = ta.shape[0]
@@ -130,13 +137,22 @@ def _seed(grid: Grid, ta, tb, tc, span: int, runner_up: bool = True):
     lo_cell = jnp.floor((lo - bmin) / cs).astype(jnp.int32) - 1  # ±1 guard
     hi_cell = jnp.floor((hi - bmin) / cs).astype(jnp.int32) + 1
     counts = jnp.asarray(grid.cell_count, jnp.int32)
-    base = jnp.clip(lo_cell, 0, jnp.maximum(counts - span, 0))
+    base_lo = jnp.clip(lo_cell, 0, jnp.maximum(counts - span, 0))
+    base_hi = jnp.clip(
+        hi_cell - (span - 1), 0, jnp.maximum(counts - span, 0)
+    )
 
     r = jnp.arange(span, dtype=jnp.int32)
     offs = jnp.stack(
         jnp.meshgrid(r, r, r, indexing="ij"), axis=-1
     ).reshape(-1, 3)  # (S³, 3)
-    cells = base[:, None, :] + offs[None, :, :]  # (T, S³, 3)
+    cells = jnp.concatenate(
+        [
+            base_lo[:, None, :] + offs[None, :, :],
+            base_hi[:, None, :] + offs[None, :, :],
+        ],
+        axis=1,
+    )  # (T, 2·S³, 3)
     in_box = jnp.all(
         (cells >= jnp.maximum(lo_cell, 0)[:, None, :])
         & (cells <= jnp.minimum(hi_cell, counts - 1)[:, None, :]),
@@ -153,7 +169,7 @@ def _seed(grid: Grid, ta, tb, tc, span: int, runner_up: bool = True):
     # Argmin scatter (two-pass): any triangle achieving the min wins.
     dmin_at = dist[flat]
     tri_ids = jnp.broadcast_to(
-        jnp.arange(T, dtype=jnp.int32)[:, None], (T, span**3)
+        jnp.arange(T, dtype=jnp.int32)[:, None], (T, 2 * span**3)
     ).reshape(-1)
     winner = jnp.where(d <= dmin_at, tri_ids, -1)
     tri_idx = jnp.full((N,), -1, jnp.int32).at[flat].max(winner)
@@ -176,103 +192,199 @@ def _seed(grid: Grid, ta, tb, tc, span: int, runner_up: bool = True):
     return dist, tri_idx, dist2, tri_idx2
 
 
-def _seed_sorted(grid: Grid, ta, tb, tc, span: int):
-    """:func:`_seed` via lexicographic sort + segmented selection.
+class SeedBins(NamedTuple):
+    """Host-precomputed seed gather lists (see :func:`build_seed_bins`).
 
-    The scatter-min formulation serializes on colliding cell indices (the
-    TPU scatter path); sorting (cell, distance) pairs turns per-cell winner
-    selection into segment-start reads and the final write into a
-    unique-index scatter. Same outputs as :func:`_seed`.
+    entry_tri: (R, K) int32 — triangle ids per row (T = sentinel/empty);
+    rows_cell: (R,) int32 — flat cell index per row (N = padding rows);
+    n_shift_rounds: int — log2 rounds needed to combine a cell's rows
+    (rows of one cell are consecutive).
+    """
+
+    entry_tri: object
+    rows_cell: object
+    n_shift_rounds: int
+
+
+def build_seed_bins(grid: Grid, ha, hb, hc, *, k: int = 8) -> SeedBins:
+    """Rasterize every triangle's grid-snapped AABB ±1 into per-cell gather
+    lists — the reference preheap's rasterization (`grid.rs:383-456`,
+    windows `grid.rs:410-426`) done with host integer ops, so the device
+    seed is a pure gather + min (no scatter, no fixed-size window, and
+    therefore no coverage gap: the full AABB±1 is covered exactly).
+
+    numpy in / numpy out. Row layout: a cell with c candidate triangles
+    occupies ceil(c/k) consecutive rows; the device combines them with
+    ``n_shift_rounds`` shifted merges (:func:`seed_from_bins`).
+    """
+    import numpy as np
+
+    ha = np.asarray(ha, np.float32)
+    hb = np.asarray(hb, np.float32)
+    hc = np.asarray(hc, np.float32)
+    T = len(ha)
+    counts = np.asarray(grid.cell_count, np.int64)
+    N = int(counts.prod())
+    bmin = np.asarray(grid.first_cell, np.float32) - 0.5 * np.asarray(
+        grid.cell_size, np.float32
+    )
+    cs = np.asarray(grid.cell_size, np.float32)
+
+    lo = np.minimum(np.minimum(ha, hb), hc) - 1e-4  # AABB_EPSILON inflation
+    hi = np.maximum(np.maximum(ha, hb), hc) + 1e-4
+    lo_cell = np.floor((lo - bmin) / cs).astype(np.int64) - 1  # ±1 guard
+    hi_cell = np.floor((hi - bmin) / cs).astype(np.int64) + 1
+    lo_cell = np.clip(lo_cell, 0, counts - 1)
+    hi_cell = np.clip(hi_cell, 0, counts - 1)
+    w = np.maximum(hi_cell - lo_cell + 1, 0)  # (T, 3) window extents
+    n_per = w.prod(axis=1)
+
+    starts = np.zeros(T + 1, np.int64)
+    np.cumsum(n_per, out=starts[1:])
+    E = int(starts[-1])
+    if E == 0:
+        entry = np.full((1, k), T, np.int32)
+        rows_cell = np.full((1,), N, np.int32)
+        return SeedBins(entry, rows_cell, 0)
+
+    tri_of = np.repeat(np.arange(T, dtype=np.int64), n_per)
+    within = np.arange(E, dtype=np.int64) - starts[tri_of]
+    wyz = w[:, 1] * w[:, 2]
+    dx = within // wyz[tri_of]
+    rem = within % wyz[tri_of]
+    dy = rem // w[tri_of, 2]
+    dz = rem % w[tri_of, 2]
+    cx = lo_cell[tri_of, 0] + dx
+    cy = lo_cell[tri_of, 1] + dy
+    cz = lo_cell[tri_of, 2] + dz
+    flat = (cx * counts[1] + cy) * counts[2] + cz  # x-major (`grid.rs:122`)
+
+    order = np.argsort(flat, kind="stable")
+    flat_s = flat[order]
+    tri_s = tri_of[order].astype(np.int32)
+
+    seg_start = np.empty(E, bool)
+    seg_start[0] = True
+    np.not_equal(flat_s[1:], flat_s[:-1], out=seg_start[1:])
+    seg_id = np.cumsum(seg_start) - 1  # 0..U-1
+    U = int(seg_id[-1]) + 1
+    # Rank of each entry within its segment.
+    seg_first = np.flatnonzero(seg_start)
+    rank = np.arange(E, dtype=np.int64) - seg_first[seg_id]
+    c = np.diff(np.append(seg_first, E))  # (U,) candidates per cell
+    rows_per = (c + k - 1) // k
+    row_start = np.zeros(U + 1, np.int64)
+    np.cumsum(rows_per, out=row_start[1:])
+    R = int(row_start[-1])
+
+    row = row_start[seg_id] + rank // k
+    col = rank % k
+    # Pad the row count to a power of two: bounds the number of distinct
+    # compiled shapes (jit keys on R) to log2 buckets.
+    R_pad = 1 << max(int(R - 1).bit_length(), 3)
+    entry = np.full((R_pad, k), T, np.int32)
+    entry[row, col] = tri_s
+    rows_cell = np.full(R_pad, N, np.int32)
+    rows_cell[row] = flat_s  # every row of a segment gets its cell id
+
+    d_max = int(rows_per.max())
+    n_rounds = max(int(np.ceil(np.log2(d_max))), 0) if d_max > 1 else 0
+    return SeedBins(entry, rows_cell, n_rounds)
+
+
+def _combine_top2(d1a, i1a, d2a, i2a, d1b, i1b, d2b, i2b):
+    """Merge two (best, runner-up-distinct) candidate pairs, branchless."""
+    a_first = d1a <= d1b
+    n_d1 = jnp.where(a_first, d1a, d1b)
+    n_i1 = jnp.where(a_first, i1a, i1b)
+    # Runner-up: best among {loser's d1, both d2} with a distinct id.
+    cand_d = jnp.stack([jnp.where(a_first, d1b, d1a), d2a, d2b])
+    cand_i = jnp.stack([jnp.where(a_first, i1b, i1a), i2a, i2b])
+    cand_d = jnp.where(cand_i == n_i1[None], F32_MAX, cand_d)
+    b = jnp.argmin(cand_d, axis=0)
+    n_d2 = jnp.take_along_axis(cand_d, b[None], axis=0)[0]
+    n_i2 = jnp.take_along_axis(cand_i, b[None], axis=0)[0]
+    return n_d1, n_i1, n_d2, n_i2
+
+
+def seed_from_bins(grid: Grid, ta, tb, tc, bins: SeedBins):
+    """Exact per-cell seeds from host-precomputed gather lists.
+
+    Device-side half of :func:`build_seed_bins`: one dense (R, K) distance
+    evaluation + log2(D) shifted merges + a unique-index scatter — no
+    conflicting scatter anywhere. Returns flat (N,) (d1, i1, d2, i2).
     """
     nx, ny, nz = grid.cell_count
     N = nx * ny * nz
     T = ta.shape[0]
+    entry = jnp.asarray(bins.entry_tri)
+    rows_cell = jnp.asarray(bins.rows_cell)
 
-    lo, hi = geometry.triangle_bounding_box(ta, tb, tc)
-    bmin, _ = grid.bounding_box()
-    cs = grid.cell_size
-    lo_cell = jnp.floor((lo - bmin) / cs).astype(jnp.int32) - 1
-    hi_cell = jnp.floor((hi - bmin) / cs).astype(jnp.int32) + 1
-    counts = jnp.asarray(grid.cell_count, jnp.int32)
-    base = jnp.clip(lo_cell, 0, jnp.maximum(counts - span, 0))
+    pad3 = jnp.full((1, 3), PAD_COORD, jnp.float32)
+    ta_p = jnp.concatenate([ta, pad3])
+    tb_p = jnp.concatenate([tb, pad3])
+    tc_p = jnp.concatenate([tc, pad3])
 
-    r = jnp.arange(span, dtype=jnp.int32)
-    offs = jnp.stack(
-        jnp.meshgrid(r, r, r, indexing="ij"), axis=-1
-    ).reshape(-1, 3)
-    cells = base[:, None, :] + offs[None, :, :]
-    in_box = jnp.all(
-        (cells >= jnp.maximum(lo_cell, 0)[:, None, :])
-        & (cells <= jnp.minimum(hi_cell, counts - 1)[:, None, :]),
-        axis=-1,
-    )
-    centers = grid.cell_center(cells)
+    safe_cell = jnp.minimum(rows_cell, N - 1)
+    cz = safe_cell % nz
+    cy = (safe_cell // nz) % ny
+    cx = safe_cell // (ny * nz)
+    centers = grid.cell_center(jnp.stack([cx, cy, cz], axis=-1))  # (R, 3)
+
     d = geometry.point_triangle_distance(
-        centers, ta[:, None, :], tb[:, None, :], tc[:, None, :]
-    )
-    d = jnp.where(in_box, d, F32_MAX).reshape(-1)
-    # Invalid entries sort to a sentinel segment N (dropped by the scatter).
-    flat = jnp.where(
-        in_box.reshape(-1),
-        grid.cell_index(jnp.clip(cells, 0, counts - 1)).reshape(-1),
-        N,
-    ).astype(jnp.int32)
-    tri_ids = jnp.broadcast_to(
-        jnp.arange(T, dtype=jnp.int32)[:, None], (T, span**3)
-    ).reshape(-1)
+        centers[:, None, :], ta_p[entry], tb_p[entry], tc_p[entry]
+    )  # (R, K)
+    d = jnp.where(entry == T, F32_MAX, d)
 
-    cell_s, d_s, tri_s = jax.lax.sort(
-        (flat, d, tri_ids), num_keys=2
-    )
-    seg_start = jnp.concatenate(
-        [jnp.ones((1,), bool), cell_s[1:] != cell_s[:-1]]
-    )
-    # Propagate each segment's winning triangle to all entries (segmented
-    # "copy first" scan).
-    def comb(a, b):
-        a_flag, a_val = a
-        b_flag, b_val = b
-        return a_flag | b_flag, jnp.where(b_flag, b_val, a_val)
+    # Per-row top-2 distinct.
+    b1 = jnp.argmin(d, axis=1)
+    d1 = jnp.take_along_axis(d, b1[:, None], axis=1)[:, 0]
+    i1 = jnp.take_along_axis(entry, b1[:, None], axis=1)[:, 0]
+    masked = jnp.where(entry == i1[:, None], F32_MAX, d)
+    b2 = jnp.argmin(masked, axis=1)
+    d2 = jnp.take_along_axis(masked, b2[:, None], axis=1)[:, 0]
+    i2 = jnp.take_along_axis(entry, b2[:, None], axis=1)[:, 0]
 
-    _, win_tri = jax.lax.associative_scan(comb, (seg_start, tri_s))
-    _, win_d = jax.lax.associative_scan(comb, (seg_start, d_s))
-
-    # Runner-up: the first in-segment entry with a different triangle. Since
-    # entries are distance-sorted within a segment, that's a segmented min
-    # over the distinct-masked distances, read at each segment's last entry.
-    distinct = (tri_s != win_tri) & ~seg_start
-    d_masked = jnp.where(distinct, d_s, F32_MAX)
-    t_masked = jnp.where(distinct, tri_s, -1)
-
-    def comb_seg(a, b):
-        a_flag, a_d, a_t = a
-        b_flag, b_d, b_t = b
-        flag = a_flag | b_flag
-        d_out = jnp.where(b_flag, b_d, jnp.minimum(a_d, b_d))
-        t_out = jnp.where(
-            b_flag, b_t, jnp.where(b_d <= a_d, b_t, a_t)
+    # Combine consecutive rows of the same cell (≤ 2^n_rounds rows/cell).
+    for s_exp in range(bins.n_shift_rounds):
+        s = 1 << s_exp
+        same = jnp.concatenate(
+            [rows_cell[s:] == rows_cell[:-s], jnp.zeros((s,), bool)]
         )
-        return flag, d_out, t_out
+        sh = lambda a, fill: jnp.concatenate(
+            [a[s:], jnp.full((s,) + a.shape[1:], fill, a.dtype)]
+        )
+        m_d1, m_i1, m_d2, m_i2 = _combine_top2(
+            d1, i1, d2, i2, sh(d1, F32_MAX), sh(i1, T), sh(d2, F32_MAX),
+            sh(i2, T),
+        )
+        d1 = jnp.where(same, m_d1, d1)
+        i1 = jnp.where(same, m_i1, i1)
+        d2 = jnp.where(same, m_d2, d2)
+        i2 = jnp.where(same, m_i2, i2)
 
-    _, d2_run, t2_run = jax.lax.associative_scan(
-        comb_seg, (seg_start, d_masked, t_masked)
-    )
-    seg_end = jnp.concatenate(
-        [cell_s[1:] != cell_s[:-1], jnp.ones((1,), bool)]
-    )
-
-    dist = jnp.full((N + 1,), F32_MAX, jnp.float32)
-    tri_idx = jnp.full((N + 1,), -1, jnp.int32)
-    dist2 = jnp.full((N + 1,), F32_MAX, jnp.float32)
-    tri_idx2 = jnp.full((N + 1,), -1, jnp.int32)
-    idx_w = jnp.where(seg_start, cell_s, N)
-    dist = dist.at[idx_w].set(jnp.where(seg_start, win_d, F32_MAX))
-    tri_idx = tri_idx.at[idx_w].set(jnp.where(seg_start, tri_s, -1))
-    idx_e = jnp.where(seg_end, cell_s, N)
-    dist2 = dist2.at[idx_e].set(jnp.where(seg_end, d2_run, F32_MAX))
-    tri_idx2 = tri_idx2.at[idx_e].set(jnp.where(seg_end, t2_run, -1))
-    tri_idx2 = jnp.where(dist2[:N] >= F32_MAX, -1, tri_idx2[:N])
-    return dist[:N], tri_idx[:N], dist2[:N], tri_idx2
+    # First row of each cell carries the full combine; unique scatter.
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), rows_cell[1:] != rows_cell[:-1]]
+    ) & (rows_cell < N)
+    idx_w = jnp.where(first, rows_cell, N)
+    # Empty slots: argmin over all-F32_MAX candidates returns an arbitrary
+    # id — force the sentinel whenever the distance says "no candidate".
+    i1 = jnp.where((i1 >= T) | (d1 >= F32_MAX), -1, i1)
+    i2 = jnp.where((i2 >= T) | (d2 >= F32_MAX), -1, i2)
+    out_d1 = jnp.full((N + 1,), F32_MAX, jnp.float32).at[idx_w].set(
+        jnp.where(first, d1, F32_MAX), unique_indices=True
+    )[:N]
+    out_i1 = jnp.full((N + 1,), -1, jnp.int32).at[idx_w].set(
+        jnp.where(first, i1, -1), unique_indices=True
+    )[:N]
+    out_d2 = jnp.full((N + 1,), F32_MAX, jnp.float32).at[idx_w].set(
+        jnp.where(first, d2, F32_MAX), unique_indices=True
+    )[:N]
+    out_i2 = jnp.full((N + 1,), -1, jnp.int32).at[idx_w].set(
+        jnp.where(first, i2, -1), unique_indices=True
+    )[:N]
+    return out_d1, out_i1, out_d2, out_i2
 
 
 def _sweep_axis0(state: CptState, centers) -> CptState:
@@ -460,6 +572,7 @@ def closest_point_grid(
     *,
     rounds: int = 1,
     span: int = SEED_SPAN,
+    seed=None,  # optional precomputed (d1, i1, d2, i2) flat seeds
 ) -> Tuple[jax.Array, jax.Array]:
     """Unsigned distance + nearest-triangle index for every cell.
 
@@ -468,7 +581,9 @@ def closest_point_grid(
     nx, ny, nz = grid.cell_count
     T = ta.shape[0]
 
-    d1, i1, d2, i2 = _seed(grid, ta, tb, tc, span)
+    d1, i1, d2, i2 = seed if seed is not None else _seed(
+        grid, ta, tb, tc, span
+    )
 
     tv = jnp.concatenate([ta, tb, tc], axis=-1)  # (T, 9)
     tv = jnp.concatenate(
@@ -524,8 +639,10 @@ def subdivide_to_span(vertices, faces, max_edge: float, max_tris: int = 4_000_00
                       return_parents: bool = False):
     """Host-side longest-edge subdivision until every edge ≤ max_edge.
 
-    Keeps the surface identical, so distances/signs are unchanged; guarantees
-    every triangle's AABB fits the seed window. numpy in/out. With
+    Keeps the surface identical, so distances/signs are unchanged. Used to
+    bound each triangle's AABB (and hence its rasterized seed volume /
+    window coverage — a triangle's per-axis extent is at most its longest
+    edge). numpy in/out. With
     ``return_parents`` also returns each output triangle's ORIGINAL face
     index (for gradient paths: the closest point on a sub-triangle lies on
     its parent, so barycentric gradients are taken w.r.t. the parent).
@@ -580,6 +697,7 @@ def closest_point_grid_pallas(
     rounds: int = 1,
     span: int = SEED_SPAN,
     seed_runner_up: bool = True,
+    seed=None,  # optional precomputed (d1, i1, d2, i2) flat seeds
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """:func:`closest_point_grid` with the sweeps as Pallas kernels.
@@ -594,10 +712,13 @@ def closest_point_grid_pallas(
 
     nx, ny, nz = grid.cell_count
     T = ta.shape[0]
-    # NOTE: the sort+segmented-scan variant (_seed_sorted) halves runtime but
-    # its lax.sort/associative_scan compile takes >10 min through the axon
-    # remote compiler — scatter wins on total wall-clock here.
-    d1, i1, d2, i2 = _seed(grid, ta, tb, tc, span, runner_up=seed_runner_up)
+    # Preferred seeding is host-binned gather lists (``seed=``, from
+    # build_seed_bins — no scatter). The in-device fallback is the window
+    # scatter; the sort+segmented-scan variant (_seed_sorted) halves its
+    # runtime but compiles >10 min through the axon remote compiler.
+    d1, i1, d2, i2 = seed if seed is not None else _seed(
+        grid, ta, tb, tc, span, runner_up=seed_runner_up
+    )
 
     tv = jnp.concatenate([ta, tb, tc], axis=-1)
     tv = jnp.concatenate([tv, jnp.full((1, 9), PAD_COORD, jnp.float32)], axis=0)

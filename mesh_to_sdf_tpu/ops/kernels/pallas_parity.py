@@ -218,17 +218,21 @@ def rotate_planes(ta, tb, tc, axis: int):
 
 
 def grid_inside_mask_pallas(grid, ta, tb, tc, *, k_distinct: int = K_DISTINCT,
-                            interpret: bool = False):
+                            axes: int = 3, interpret: bool = False):
     """Boolean (nx, ny, nz) inside mask via 3-axis Pallas line parity.
 
     Drop-in replacement for :func:`..raycast.grid_inside_mask` (same vote
-    semantics, `grid.rs:622-639`). Also returns total overflow count.
+    semantics, `grid.rs:622-639`; ``axes=1`` = single +X parity). Also
+    returns the total overflow count: the number of (line, sub-block) hit
+    buckets beyond ``k_distinct`` that were NOT counted. Callers must treat
+    any nonzero overflow as "parity unreliable" and fall back to the exact
+    engine (see gridgen's host-side check).
     """
     from ..raycast import face_origins, unrotate_axis
 
     votes = None
     total_ovf = jnp.zeros((), jnp.int32)
-    for axis in range(3):
+    for axis in range(axes):
         origins, lshape = face_origins(grid, axis)
         n = grid.cell_count[axis]
         iy, iz = (axis + 1) % 3, (axis + 2) % 3
@@ -246,4 +250,4 @@ def grid_inside_mask_pallas(grid, ta, tb, tc, *, k_distinct: int = K_DISTINCT,
         vote = unrotate_axis(odd, axis, lshape, n).astype(jnp.int32)
         votes = vote if votes is None else votes + vote
         total_ovf = total_ovf + jnp.sum(ovf)
-    return votes >= 2, total_ovf
+    return votes >= (2 if axes >= 2 else 1), total_ovf

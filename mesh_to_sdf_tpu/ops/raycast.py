@@ -29,7 +29,7 @@ from . import geometry
 _INF = jnp.float32(jnp.inf)
 
 
-@functools.partial(jax.jit, static_argnames=("tri_block", "line_chunk"))
+@functools.partial(jax.jit, static_argnames=("tri_block", "line_chunk", "axes"))
 def grid_inside_mask(
     grid: Grid,
     tri_a: jax.Array,  # (T, 3)
@@ -39,8 +39,13 @@ def grid_inside_mask(
     *,
     tri_block: int = 512,
     line_chunk: int = 1024,
+    axes: int = 3,
 ) -> jax.Array:
-    """Boolean (nx, ny, nz) mask: True where the cell is inside the mesh."""
+    """Boolean (nx, ny, nz) mask: True where the cell is inside the mesh.
+
+    ``axes=3`` (default): best-of-3 voting (`grid.rs:622-639`); ``axes=1``:
+    single +X parity (the reference default backend, `default.rs:34-37`).
+    """
     from .brute import pad_tri_blocks
 
     tri_a, tri_b, tri_c, tri_valid, tri_block = pad_tri_blocks(
@@ -48,11 +53,11 @@ def grid_inside_mask(
     )
     odd = [
         _axis_parity(grid, axis, tri_a, tri_b, tri_c, tri_valid, tri_block, line_chunk)
-        for axis in range(3)
+        for axis in range(axes)
     ]
-    votes = (
-        odd[0].astype(jnp.int32) + odd[1].astype(jnp.int32) + odd[2].astype(jnp.int32)
-    )
+    if axes == 1:
+        return odd[0]
+    votes = sum(o.astype(jnp.int32) for o in odd)
     return votes >= 2
 
 

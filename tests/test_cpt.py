@@ -199,3 +199,115 @@ def test_differentiable_sdf_cpt_engine():
         state, loss = model.train_step(state, jnp.asarray(target))
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses
+
+
+# ---------------------------------------------------------------------------
+# Host-binned seeding (round 2): exact AABB±1 rasterization, no scatter
+# ---------------------------------------------------------------------------
+def test_binned_seeds_match_reference_rasterization():
+    """build_seed_bins + seed_from_bins == the reference preheap semantics
+    (`grid.rs:383-456`): every cell inside a triangle's grid-snapped AABB±1
+    gets that triangle's exact distance as a candidate."""
+    import jax.numpy as jnp
+    from baselines import make_icosphere
+
+    verts, faces = make_icosphere(subdiv=2)
+    ta = jnp.asarray(verts[faces[:, 0]])
+    tb = jnp.asarray(verts[faces[:, 1]])
+    tc = jnp.asarray(verts[faces[:, 2]])
+    g = Grid.from_bounding_box([-1.3] * 3, [1.3] * 3, [13, 11, 9])
+
+    bins = cpt.build_seed_bins(g, np.asarray(ta), np.asarray(tb), np.asarray(tc))
+    d1, i1, d2, i2 = cpt.seed_from_bins(g, ta, tb, tc, bins)
+    d1 = np.asarray(d1)
+    i1 = np.asarray(i1)
+    d2 = np.asarray(d2)
+    i2 = np.asarray(i2)
+
+    # Independent numpy rasterization of the same windows.
+    counts = np.asarray(g.cell_count)
+    bmin = np.asarray(g.first_cell) - 0.5 * np.asarray(g.cell_size)
+    cs = np.asarray(g.cell_size)
+    tv = np.stack([np.asarray(ta), np.asarray(tb), np.asarray(tc)], 1)
+    lo = tv.min(1) - 1e-4
+    hi = tv.max(1) + 1e-4
+    lo_c = np.clip(np.floor((lo - bmin) / cs).astype(int) - 1, 0, counts - 1)
+    hi_c = np.clip(np.floor((hi - bmin) / cs).astype(int) + 1, 0, counts - 1)
+    centers = np.asarray(g.all_cell_centers())
+
+    from baselines import sdfgen_point_triangle_distance
+
+    rng_t = np.random.default_rng(3)
+    for t in rng_t.choice(len(tv), size=25, replace=False):
+        for _ in range(4):
+            c = [rng_t.integers(lo_c[t][a], hi_c[t][a] + 1) for a in range(3)]
+            flat = (c[0] * counts[1] + c[1]) * counts[2] + c[2]
+            dt = sdfgen_point_triangle_distance(
+                centers[c[0], c[1], c[2]].astype(np.float64),
+                *(tv[t][k].astype(np.float64) for k in range(3)),
+            )
+            # The cell's seed must be at least as good as this candidate.
+            assert d1[flat] <= dt + 1e-5
+            # And if this triangle IS the winner, the distance is exact.
+            if i1[flat] == t:
+                assert abs(d1[flat] - dt) < 1e-5
+
+    # Runner-up invariants: distinct triangle, d2 >= d1.
+    seeded2 = i2 >= 0
+    assert np.all(i2[seeded2] != i1[seeded2])
+    assert np.all(d2[seeded2] >= d1[seeded2] - 1e-6)
+
+
+def test_binned_seeds_dominate_window_scatter():
+    """Full-AABB binned coverage can only improve on the fixed window."""
+    import jax.numpy as jnp
+
+    verts, faces = make_icosphere(subdiv=2)
+    ta = jnp.asarray(verts[faces[:, 0]])
+    tb = jnp.asarray(verts[faces[:, 1]])
+    tc = jnp.asarray(verts[faces[:, 2]])
+    g = Grid.from_bounding_box([-1.4] * 3, [1.4] * 3, [12, 12, 12])
+    bins = cpt.build_seed_bins(g, np.asarray(ta), np.asarray(tb), np.asarray(tc))
+    b1, _, _, _ = cpt.seed_from_bins(g, ta, tb, tc, bins)
+    s1, _, _, _ = cpt._seed(g, ta, tb, tc, cpt.SEED_SPAN)
+    b1 = np.asarray(b1)
+    s1 = np.asarray(s1)
+    covered = s1 < 1e30
+    assert np.all(b1[covered] <= s1[covered] + 1e-6)
+
+
+def test_binned_seeds_empty_and_giant():
+    """Degenerate inputs: no triangles; one triangle spanning the grid."""
+    import jax.numpy as jnp
+
+    g = Grid.from_bounding_box([-1] * 3, [1] * 3, [6, 6, 6])
+    bins = cpt.build_seed_bins(
+        g, np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32),
+        np.zeros((0, 3), np.float32),
+    )
+    z = jnp.zeros((0, 3), jnp.float32)
+    d1, i1, _, _ = cpt.seed_from_bins(g, z, z, z, bins)
+    assert np.all(np.asarray(i1) == -1)
+
+    # One huge triangle in the z=0 plane: its AABB±1 covers the full x/y
+    # extent but only z-cells adjacent to the plane (reference semantics,
+    # `grid.rs:410-426`); those cells are seeded exactly, the rest filled
+    # by the sweeps.
+    ta = jnp.asarray([[-5.0, -5.0, 0.0]])
+    tb = jnp.asarray([[5.0, -5.0, 0.0]])
+    tc = jnp.asarray([[0.0, 10.0, 0.0]])
+    bins = cpt.build_seed_bins(
+        g, np.asarray(ta), np.asarray(tb), np.asarray(tc)
+    )
+    seed = cpt.seed_from_bins(g, ta, tb, tc, bins)
+    d1 = np.asarray(seed[0]).reshape(6, 6, 6)
+    centers = np.asarray(g.all_cell_centers())
+    want = np.abs(centers[..., 2])
+    seeded = d1 < 1e30
+    assert seeded[:, :, 1:5].all() and not seeded[:, :, 0].any()
+    np.testing.assert_allclose(d1[seeded], want[seeded], rtol=1e-6, atol=1e-6)
+
+    # The sweeps complete the field exactly everywhere.
+    dist, idx = cpt.closest_point_grid(g, ta, tb, tc, seed=seed)
+    np.testing.assert_allclose(np.asarray(dist), want, rtol=1e-6, atol=1e-6)
+    assert np.all(np.asarray(idx) == 0)
