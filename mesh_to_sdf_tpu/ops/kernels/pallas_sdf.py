@@ -366,6 +366,56 @@ def sdf_raycast_pallas(
     return jnp.where(inside, -dist, dist)
 
 
+def sdf_raycast_parts_pallas(
+    queries, ta, tb, tc, *, raycast_axes: int = 3, tq: int = DEFAULT_TQ,
+    tb_block: int = DEFAULT_TB, interpret: bool = False,
+):
+    """Pre-vote kernel outputs: (unsigned dist (Q,), crossing counts
+    (Q, axes) int32). For sharded reductions: per-shard counts are ``psum``ed
+    over the triangle axis and distances min-reduced BEFORE the parity vote
+    (parallel/sharding.py)."""
+    Q = queries.shape[0]
+    dist_and_counts = _raycast_raw(
+        queries, ta, tb, tc, raycast_axes=max(raycast_axes, 1), tq=tq,
+        tb_block=tb_block, interpret=interpret,
+    )
+    dist = jnp.sqrt(dist_and_counts[0][:Q])
+    counts = jnp.stack([o[:Q] for o in dist_and_counts[1:]], axis=-1)
+    return dist, counts
+
+
+def _raycast_raw(queries, ta, tb, tc, *, raycast_axes, tq, tb_block,
+                 interpret):
+    (qx, qy, qz), tplanes = _prep(queries, ta, tb, tc, tq, tb_block)
+    n_qt = qx.shape[0] // tq
+    n_tb = tplanes[0].shape[0] // tb_block
+    qspec = pl.BlockSpec((tq,), lambda i, j: (i,), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec(
+        (tb_block,), lambda i, j: (j,), memory_space=pltpu.VMEM
+    )
+    ospec = pl.BlockSpec((tq,), lambda i, j: (i,), memory_space=pltpu.VMEM)
+    out_shapes = [jax.ShapeDtypeStruct((n_qt * tq,), jnp.float32)] + [
+        jax.ShapeDtypeStruct((n_qt * tq,), jnp.int32)
+        for _ in range(raycast_axes)
+    ]
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_raycast,
+            raycast_axes=raycast_axes,
+            n_sub=tb_block // min(SUB, tb_block),
+            sub=min(SUB, tb_block),
+        ),
+        grid=(n_qt, n_tb),
+        in_specs=[qspec] * 3 + [tspec] * 9,
+        out_specs=[ospec] * (1 + raycast_axes),
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(qx, qy, qz, *tplanes)
+
+
 @functools.partial(
     jax.jit, static_argnames=("tq", "tb_block", "interpret")
 )
@@ -420,3 +470,41 @@ def sdf_normal_pallas(
     minpos = jnp.sqrt(jnp.minimum(pos2[:Q], F32_MAX))
     minneg = jnp.sqrt(jnp.minimum(neg2[:Q], F32_MAX))
     return combine_champions(minpos, minneg)
+
+
+def sdf_normal_champions_pallas(queries, ta, tb, tc, *, tq: int = DEFAULT_TQ,
+                                tb_block: int = DEFAULT_TB,
+                                interpret: bool = False):
+    """Pre-combination champions (min positive, min |negative|) per query —
+    for sharded reductions where champions are min-combined across triangle
+    shards before the single `compare_distances` tie-break."""
+    Q = queries.shape[0]
+    (qx, qy, qz), tplanes = _prep(queries, ta, tb, tc, tq, tb_block)
+    n_qt = qx.shape[0] // tq
+    n_tb = tplanes[0].shape[0] // tb_block
+    qspec = pl.BlockSpec((tq,), lambda i, j: (i,), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec(
+        (tb_block,), lambda i, j: (j,), memory_space=pltpu.VMEM
+    )
+    ospec = pl.BlockSpec((tq,), lambda i, j: (i,), memory_space=pltpu.VMEM)
+    pos2, neg2 = pl.pallas_call(
+        functools.partial(
+            _kernel_normal,
+            n_sub=tb_block // min(SUB, tb_block),
+            sub=min(SUB, tb_block),
+        ),
+        grid=(n_qt, n_tb),
+        in_specs=[qspec] * 3 + [tspec] * 9,
+        out_specs=[ospec] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_qt * tq,), jnp.float32),
+            jax.ShapeDtypeStruct((n_qt * tq,), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(qx, qy, qz, *tplanes)
+    minpos = jnp.sqrt(jnp.minimum(pos2[:Q], F32_MAX))
+    minneg = jnp.sqrt(jnp.minimum(neg2[:Q], F32_MAX))
+    return minpos, minneg

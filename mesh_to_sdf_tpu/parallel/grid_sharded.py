@@ -68,6 +68,27 @@ def _x_sweeps(state, centers):
     return cpt_mod.CptState(*[getattr(rev, n)[::-1] for n in rev._fields])
 
 
+def _x_sweeps_pallas(state: cpt_mod.CptState, slab: Grid):
+    """±x sweeps via the VMEM-carry Pallas kernel (TPU halo re-sweeps)."""
+    from ..ops.kernels import pallas_sweep
+
+    fc = jnp.asarray(slab.first_cell, jnp.float32)
+    cs = jnp.asarray(slab.cell_size, jnp.float32)
+    # Kernel layout: vertex volumes channel-second (n0, 9, n1, n2).
+    tup = (
+        state.d1, jnp.transpose(state.v1, (0, 3, 1, 2)), state.i1,
+        state.d2, jnp.transpose(state.v2, (0, 3, 1, 2)), state.i2,
+    )
+    for rev in (False, True):
+        tup = pallas_sweep.sweep_oriented(
+            *tup, rev, fc, cs, comp0=0, comp1=1, comp2=2
+        )
+    return cpt_mod.CptState(
+        tup[0], jnp.transpose(tup[1], (0, 2, 3, 1)), tup[2],
+        tup[3], jnp.transpose(tup[4], (0, 2, 3, 1)), tup[5],
+    )
+
+
 def _slice_state(state, position: int):
     return cpt_mod.CptState(
         *[getattr(state, n)[position] for n in state._fields]
@@ -82,13 +103,20 @@ def generate_grid_sdf_sharded_cpt(
     sign_method: SignMethod = SignMethod.RAYCAST,
     *,
     halo_rounds: int = 2,
+    use_pallas: Optional[bool] = None,
 ) -> jax.Array:
     """Distributed `generate_grid_sdf` (CPT engine), x-slab sharded.
 
     vertices (V,3)/faces (M,3) host arrays; grid.cell_count[0] must divide
     the mesh's ``cells`` axis size. Returns the full (nx*ny*nz,) f32 SDF
     (x-sharded across devices until materialized).
+
+    ``use_pallas`` (default: auto — True on TPU): run each slab's CPT sweeps
+    through the VMEM-carry Pallas kernel, matching single-chip throughput
+    per shard.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     n_dev = mesh.shape[CELL_AXIS]
     nx, ny, nz = grid.cell_count
     if nx % n_dev:
@@ -118,7 +146,12 @@ def generate_grid_sdf_sharded_cpt(
         slab = _slab_grid(grid, n_dev, idx)
         ta, tb, tc = tris[0], tris[1], tris[2]
 
-        dist, tri_idx = cpt_mod.closest_point_grid(slab, ta, tb, tc)
+        if use_pallas:
+            dist, tri_idx = cpt_mod.closest_point_grid_pallas(
+                slab, ta, tb, tc
+            )
+        else:
+            dist, tri_idx = cpt_mod.closest_point_grid(slab, ta, tb, tc)
 
         # Rebuild the full CPT state for halo exchange: re-seed + re-derive
         # vertex volumes from the final indices (cheaper than carrying state
@@ -171,7 +204,10 @@ def generate_grid_sdf_sharded_cpt(
             from_right = masknb(from_right, is_last)
             state = _merge_boundary(state, from_left, 0, centers[0])
             state = _merge_boundary(state, from_right, -1, centers[-1])
-            state = _x_sweeps(state, centers)
+            if use_pallas:
+                state = _x_sweeps_pallas(state, slab)
+            else:
+                state = _x_sweeps(state, centers)
 
         dist = state.d1
 

@@ -46,14 +46,96 @@ def _shard_ray_counts(queries, vertices, tri_idx, raycast_axes):
     return jnp.stack(counts, axis=-1)
 
 
+#: Vertex sentinel neutralizing padded (-1) triangle rows in the Pallas
+#: kernels: distance ~1e18 (never wins), no ray hits.
+_FAR = 1.0e18
+
+
+def _pallas_safe_tris(vertices, tri_idx):
+    """Gather triangle vertices; move invalid (pad) rows far away."""
+    v = jax.lax.stop_gradient(vertices)
+    valid = (tri_idx[:, 0] >= 0)[:, None]
+    ta = jnp.where(valid, v[jnp.maximum(tri_idx[:, 0], 0)], _FAR)
+    tb = jnp.where(valid, v[jnp.maximum(tri_idx[:, 1], 0)], _FAR)
+    tc = jnp.where(valid, v[jnp.maximum(tri_idx[:, 2], 0)], _FAR)
+    return ta, tb, tc
+
+
+def _make_champions_fn(block: int, use_pallas: bool):
+    """(vertices, tri_idx, queries) -> (minpos, minneg): Pallas kernel as the
+    primal (serving / inference speed), scan engine + envelope VJP under
+    differentiation (the kernel does not expose argmin residuals)."""
+    if not use_pallas:
+        return lambda v, t, q: autodiff.signed_champion_distances(v, t, q, block)
+
+    from ..ops.kernels import pallas_sdf
+
+    @jax.custom_vjp
+    def champs(vertices, tri_idx, queries):
+        ta, tb, tc = _pallas_safe_tris(vertices, tri_idx)
+        return pallas_sdf.sdf_normal_champions_pallas(queries, ta, tb, tc)
+
+    def fwd(vertices, tri_idx, queries):
+        return autodiff._champ_fwd(vertices, tri_idx, queries, block)
+
+    def bwd(res, gs):
+        return autodiff._champ_bwd(block, res, gs)
+
+    champs.defvjp(fwd, bwd)
+    return champs
+
+
+def _make_dist_counts_fn(block: int, raycast_axes: int, use_pallas: bool):
+    """(vertices, tri_idx, queries) -> (dist, counts (Q, axes)). The Pallas
+    primal fuses distance + 3-axis parity in ONE triangle pass; counts are
+    stop-grad (piecewise constant sign)."""
+    if not use_pallas:
+        def fn(vertices, tri_idx, queries):
+            d = autodiff.unsigned_min_distance(vertices, tri_idx, queries, block)
+            counts = _shard_ray_counts(queries, vertices, tri_idx, raycast_axes)
+            return d, counts
+
+        return fn
+
+    from ..ops.kernels import pallas_sdf
+
+    @jax.custom_vjp
+    def dist_counts(vertices, tri_idx, queries):
+        ta, tb, tc = _pallas_safe_tris(vertices, tri_idx)
+        return pallas_sdf.sdf_raycast_parts_pallas(
+            queries, ta, tb, tc, raycast_axes=raycast_axes
+        )
+
+    def fwd(vertices, tri_idx, queries):
+        d, res = autodiff._min_fwd(vertices, tri_idx, queries, block)
+        counts = _shard_ray_counts(queries, vertices, tri_idx, raycast_axes)
+        return (d, counts), res
+
+    def bwd(res, gs):
+        gd, _gcounts = gs
+        return autodiff._min_bwd(block, res, gd)
+
+    dist_counts.defvjp(fwd, bwd)
+    return dist_counts
+
+
 def sharded_sdf_fn(mesh: Mesh, sign_method: SignMethod, *, raycast_axes: int = 3,
-                   block: int = 256):
+                   block: int = 256, use_pallas: Optional[bool] = None):
     """Build a differentiable sharded SDF function
     ``f(vertices (V,3) replicated, tri_idx (M,3) sharded[tris], queries (Q,3)
     sharded[cells]) -> (Q,) sharded[cells]``.
 
     M must divide mesh.shape[tris]; Q must divide mesh.shape[cells].
+
+    ``use_pallas`` (default: auto — True on TPU): each shard's forward runs
+    the fused Pallas kernels (same single-chip kernel the unsharded path
+    uses), so per-chip throughput matches the single-chip numbers; under
+    differentiation the scan engine + envelope VJP run instead.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    champs_fn = _make_champions_fn(block, use_pallas)
+    dist_counts_fn = _make_dist_counts_fn(block, raycast_axes, use_pallas)
 
     @functools.partial(
         jax.shard_map,
@@ -65,17 +147,14 @@ def sharded_sdf_fn(mesh: Mesh, sign_method: SignMethod, *, raycast_axes: int = 3
     )
     def fn(vertices, tri_idx, queries):
         if sign_method == SignMethod.NORMAL:
-            mp, mn = autodiff.signed_champion_distances(
-                vertices, tri_idx, queries, block
-            )
+            mp, mn = champs_fn(vertices, tri_idx, queries)
             # champions across triangle shards: tiny all_gather + min
             mp = jnp.min(jax.lax.all_gather(mp, TRI_AXIS, axis=0), axis=0)
             mn = jnp.min(jax.lax.all_gather(mn, TRI_AXIS, axis=0), axis=0)
             return combine_champions(mp, mn)
 
-        dist = autodiff.unsigned_min_distance(vertices, tri_idx, queries, block)
+        dist, counts = dist_counts_fn(vertices, tri_idx, queries)
         dist = jnp.min(jax.lax.all_gather(dist, TRI_AXIS, axis=0), axis=0)
-        counts = _shard_ray_counts(queries, vertices, tri_idx, raycast_axes)
         counts = jax.lax.psum(counts, TRI_AXIS)
         odd = counts % 2 == 1
         if raycast_axes == 1:
@@ -96,6 +175,7 @@ def generate_sdf_sharded(
     *,
     raycast_axes: int = 3,
     block: int = 256,
+    use_pallas: Optional[bool] = None,
 ) -> jax.Array:
     """Multi-device `generate_sdf`. Host-pads inputs, places shards, computes.
 
@@ -113,7 +193,8 @@ def generate_sdf_sharded(
     Qpad = pad_for_axis(max(Q, 1), mesh, CELL_AXIS, 8)
     q_np = np.concatenate([q_np, np.zeros((Qpad - Q, 3), np.float32)])
 
-    fn = sharded_sdf_fn(mesh, sign_method, raycast_axes=raycast_axes, block=block)
+    fn = sharded_sdf_fn(mesh, sign_method, raycast_axes=raycast_axes,
+                        block=block, use_pallas=use_pallas)
     v = jax.device_put(vertices, NamedSharding(mesh, P()))
     t = jax.device_put(jnp.asarray(tri_np), NamedSharding(mesh, P(TRI_AXIS)))
     q = jax.device_put(jnp.asarray(q_np), NamedSharding(mesh, P(CELL_AXIS)))
