@@ -1,32 +1,69 @@
 #!/usr/bin/env python
 """Headline benchmark: grid cells/s/chip, raycast sign (BASELINE.json north star).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Workload mirrors the reference's big criterion config scaled to the north
-star: a 20 480-triangle watertight mesh, 256^3 grid (--quick: 128^3),
+Primary workload mirrors the reference's big criterion config scaled to the
+north star: a 20 480-triangle watertight mesh, 256^3 grid (--quick: 128^3),
 `generate_grid_sdf` with SignMethod::Raycast
 (reference: mesh_to_sdf/benches/generate_grid_sdf.rs:94-122 at 100^3).
 
+"extra" carries the reference's own criterion workloads on its real assets
+(mesh_to_sdf/benches/generate_sdf.rs:12-58,185-236 — knight.glb query grids,
+FlightHelmet.glb big_big; generate_grid_sdf.rs:68-96 — knight 100^3 grid)
+plus the 1M-query fused-kernel rate. Each extra is individually guarded: a
+failure is recorded as a string, never kills the primary metric.
+
 `vs_baseline`: the reference publishes no absolute numbers (BASELINE.md);
 the constant below estimates the Rust crate's multithreaded propagation
-pipeline on a high-end desktop CPU (~16 threads): its per-cell work is a
-handful of 26-neighbor pops plus one raycast per boundary cell — ~2e6
-cells/s at this scale. vs_baseline = measured / BASELINE_CELLS_PER_S.
+pipeline on a high-end desktop CPU (~16 threads) at ~2e6 cells/s.
+vs_baseline = measured / BASELINE_CELLS_PER_S.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_CELLS_PER_S = 2.0e6
+#: Estimated single-core Rust RtreeBvh query rate at ~100k tris (BASELINE.md
+#: relative claims); the >10x north star divides by this.
+BASELINE_QUERIES_PER_S = 1.0e5
+
+ASSETS = "/root/reference/mesh_to_sdf/assets"
+
+
+def _timeit(fn, repeats):
+    fn()  # compile + warmup
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def _query_grid(verts, cell_radius, scale=1.0):
+    """The reference bench's query grid: cell centers of a grid with cubic
+    cells of half-extent `cell_radius` over the mesh bbox
+    (`benches/generate_sdf.rs:22-58`)."""
+    from mesh_to_sdf_tpu import Grid
+
+    lo = verts.min(axis=0)
+    hi = verts.max(axis=0)
+    cs = 2.0 * cell_radius * scale
+    counts = np.maximum(((hi - lo) / cs).astype(int) + 1, 1)
+    g = Grid.from_bounding_box(lo, hi, [int(c) for c in counts])
+    return np.asarray(g.all_cell_centers()).reshape(-1, 3)
 
 
 def main():
     import jax
 
-    from mesh_to_sdf_tpu import Grid, SignMethod, Topology, generate_grid_sdf
+    from mesh_to_sdf_tpu import (
+        Grid, SignMethod, Strategy, Topology, generate_grid_sdf, generate_sdf,
+    )
     from mesh_to_sdf_tpu.utils.meshgen import icosphere
 
     quick = "--quick" in sys.argv
@@ -48,13 +85,102 @@ def main():
     inside = float((np.asarray(out) < 0).mean())
     assert 0.37 < inside < 0.42, f"bad sign fraction {inside}"
 
-    times = []
-    for _ in range(2 if quick else 3):
-        t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    best = _timeit(run, 2 if quick else 3)
     cells_per_s = n**3 / best
+
+    extra = {}
+
+    def guarded(name, fn):
+        try:
+            extra[name] = fn()
+        except Exception as e:  # noqa: BLE001 — record, never kill the bench
+            extra[name] = f"error: {type(e).__name__}: {e}"
+
+    def load(asset):
+        from mesh_to_sdf_tpu.io import gltf
+
+        scene = gltf.load_scene(f"{ASSETS}/{asset}.glb")
+        return scene.merge()
+
+    # 1M scattered queries × 20k tris through the fused Pallas kernel
+    # (the r1 headline query metric, kept for continuity).
+    def q_1m():
+        rng = np.random.default_rng(0)
+        q = rng.uniform(-1.3, 1.3, (1_000_000, 3)).astype(np.float32)
+
+        def f():
+            d = generate_sdf(verts, topo, q, Strategy.PALLAS,
+                             sign_method=SignMethod.RAYCAST)
+            float(jax.numpy.sum(d))
+
+        t = _timeit(f, 2)
+        return round(len(q) / t, 1)
+
+    if not quick:
+        guarded("queries_per_s_1M_20k_pallas", q_1m)
+
+    if os.path.isdir(ASSETS) and not quick:
+        # Reference criterion: knight.glb, query grid at cell_radius 0.01
+        # (`generate_sdf.rs:12-58`) — ~30k queries × 11,184 tris.
+        def knight_queries():
+            kv, kf = load("knight")
+            ktopo = Topology.triangle_list(kf.reshape(-1))
+            # criterion's cell_radius=0.01 is in easy-gltf's untransformed
+            # primitive units and yields ~34k query points; our loader
+            # applies node transforms, so reproduce the COUNT: pick the
+            # cell radius that tiles the merged bbox into ~32k cells.
+            ext = (kv.max(0) - kv.min(0)).astype(np.float64)
+            cell_radius = float((ext.prod() / 32_768) ** (1.0 / 3.0)) / 2.0
+            q = _query_grid(kv, cell_radius)
+            def f():
+                d = generate_sdf(kv, ktopo, q, Strategy.PALLAS,
+                                 sign_method=SignMethod.RAYCAST)
+                float(jax.numpy.sum(d))
+            t = _timeit(f, 2)
+            return {"queries": int(len(q)), "queries_per_s": round(len(q) / t, 1)}
+
+        guarded("knight_query_grid_r0.01_pallas", knight_queries)
+
+        # Reference criterion big_big: FlightHelmet merged (94,722 tris),
+        # 1M scattered queries; CULLED = the Rtree/RtreeBvh analog.
+        def helmet_culled():
+            hv, hf = load("FlightHelmet")
+            htopo = Topology.triangle_list(hf.reshape(-1))
+            rng = np.random.default_rng(1)
+            lo, hi = hv.min(0), hv.max(0)
+            c, half = (lo + hi) / 2, (hi - lo) * 0.65
+            q = (c + rng.uniform(-1, 1, (1_000_000, 3)) * half).astype(
+                np.float32
+            )
+            def f():
+                d = generate_sdf(hv, htopo, q, Strategy.CULLED,
+                                 sign_method=SignMethod.RAYCAST)
+                float(jax.numpy.sum(d))
+            t = _timeit(f, 2)
+            qps = len(q) / t
+            return {
+                "tris": int(len(hf)),
+                "queries_per_s": round(qps, 1),
+                "vs_rtree_bvh_1core": round(qps / BASELINE_QUERIES_PER_S, 2),
+            }
+
+        guarded("flighthelmet_1M_queries_culled", helmet_culled)
+
+        # Reference criterion: knight grid at 100^3 raycast
+        # (`generate_grid_sdf.rs:68-96`).
+        def knight_grid():
+            kv, kf = load("knight")
+            ktopo = Topology.triangle_list(kf.reshape(-1))
+            lo, hi = kv.min(0), kv.max(0)
+            pad = 0.05 * (hi - lo)
+            g = Grid.from_bounding_box(lo - pad, hi + pad, [100, 100, 100])
+            def f():
+                d = generate_grid_sdf(kv, ktopo, g, SignMethod.RAYCAST)
+                float(jax.numpy.sum(d))
+            t = _timeit(f, 2)
+            return {"cells_per_s": round(100**3 / t, 1)}
+
+        guarded("knight_grid_100^3_raycast", knight_grid)
 
     print(
         json.dumps(
@@ -63,6 +189,7 @@ def main():
                 "value": round(cells_per_s, 1),
                 "unit": "cells/s",
                 "vs_baseline": round(cells_per_s / BASELINE_CELLS_PER_S, 3),
+                "extra": extra,
             }
         )
     )

@@ -53,6 +53,19 @@ def cmd_generate(args) -> int:
     from .io import serde
     from .utils.profiling import PhaseTimer
 
+    if args.distributed:
+        # Multi-host wiring (SURVEY §2.3 DCN note): every process runs the
+        # same command; jax.distributed stitches the pod together. Launch
+        # recipe (2 hosts):
+        #   host0: m2s generate in.glb -o out.bin --distributed \
+        #            --coordinator host0:1234 --num-processes 2 --process-id 0
+        #   host1: same with --process-id 1
+        from .parallel.mesh import initialize_distributed
+
+        initialize_distributed(
+            args.coordinator, args.num_processes, args.process_id
+        )
+
     verts, faces = _load_mesh_arg(args.input)
     sign = SignMethod(args.sign)
     grid = _build_grid(
@@ -60,18 +73,36 @@ def cmd_generate(args) -> int:
     )
     topo = Topology.triangle_list(faces.reshape(-1))
 
+    n_dev = len(jax.devices()) if (args.distributed or args.devices > 1) else 1
+    if args.devices > 1:
+        n_dev = args.devices
+
     timer = PhaseTimer()
     with timer.phase("generate"):
-        dist = generate_grid_sdf(verts, topo, grid, sign)
+        if n_dev > 1:
+            from .parallel.grid_sharded import generate_grid_sdf_sharded_cpt
+            from .parallel.mesh import make_sdf_mesh
+
+            mesh = make_sdf_mesh(cells=n_dev, devices=jax.devices()[:n_dev])
+            dist = generate_grid_sdf_sharded_cpt(
+                verts, faces, grid, mesh, sign
+            )
+        else:
+            dist = generate_grid_sdf(verts, topo, grid, sign, exact=args.exact)
         dist = np.asarray(jax.block_until_ready(dist))
     n = grid.total_cell_count
     secs = timer.times["generate"]
     print(
         f"generated {args.cells}^3 grid ({n} cells, {len(faces)} tris, "
-        f"{sign.value}) in {secs:.3f}s — {n / secs:,.0f} cells/s",
+        f"{sign.value}{', exact' if args.exact else ''}"
+        f"{f', {n_dev} devices' if n_dev > 1 else ''}) in {secs:.3f}s — "
+        f"{n / secs:,.0f} cells/s",
         file=sys.stderr,
     )
-    serde.save_to_file(args.output, serde.GridSdf(grid=grid, distances=dist))
+    serde.save_to_file(
+        args.output, serde.GridSdf(grid=grid, distances=dist),
+        format=args.format,
+    )
     print(f"wrote {args.output}", file=sys.stderr)
     return 0
 
@@ -238,6 +269,29 @@ def main(argv=None) -> int:
         "--extent-scale", type=float, default=1.1,
         help="bbox scale around the mesh (client slider range 1..3)",
     )
+    g.add_argument(
+        "--exact", action="store_true",
+        help="guarantee grid == brute-at-centers (replaces the approximate "
+             "CPT route with the exact tile-culled engine)",
+    )
+    g.add_argument(
+        "--format", choices=["native", "reference"], default="native",
+        help="output container: this framework's zero-copy format, or the "
+             "Rust crate's rmp-serde V1 for interchange",
+    )
+    g.add_argument(
+        "--devices", type=int, default=1,
+        help="shard the grid across N local devices (x-slab CPT pipeline)",
+    )
+    g.add_argument(
+        "--distributed", action="store_true",
+        help="initialize jax.distributed for multi-host pods (see "
+             "--coordinator / --num-processes / --process-id)",
+    )
+    g.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (multi-host)")
+    g.add_argument("--num-processes", type=int, default=None)
+    g.add_argument("--process-id", type=int, default=None)
     g.set_defaults(fn=cmd_generate)
 
     r = sub.add_parser("render", help="SDF file or mesh → PNG")

@@ -86,3 +86,49 @@ def test_splat_render():
     img = render_sdf_points(g, d, cam, point_size=2)
     assert img.shape == (64, 64, 3)
     assert img.sum() > 0
+
+
+def test_generate_exact_and_reference_format(glb, tmp_path):
+    """--exact produces grid == brute-at-centers; --format reference writes
+    a container the rmp-serde reader round-trips."""
+    import numpy as np
+
+    from mesh_to_sdf_tpu.io import serde
+
+    out = tmp_path / "exact.bin"
+    rc = cli.main(
+        ["generate", str(glb), "-o", str(out), "--cells", "12",
+         "--exact", "--format", "reference"]
+    )
+    assert rc == 0
+    back = serde.read_from_file(out)
+    assert isinstance(back, serde.GridSdf)
+    assert back.grid.cell_count == (12, 12, 12)
+
+    # Exactness vs the dense engine on the same grid.
+    import mesh_to_sdf_tpu as m
+    from mesh_to_sdf_tpu.io import gltf as gltf_mod
+
+    verts, faces = gltf_mod.load_mesh(glb)
+    want = np.asarray(
+        m.generate_grid_sdf(
+            verts, m.Topology.triangle_list(faces.reshape(-1)),
+            back.grid, m.SignMethod.RAYCAST, strategy=m.Strategy.XLA,
+        )
+    )
+    np.testing.assert_allclose(back.distances, want, rtol=1e-5, atol=1e-6)
+
+
+def test_generate_distributed_args_accepted(glb, tmp_path):
+    """--distributed / --devices flags parse and run (single-process no-op;
+    --devices 2 exercises the sharded CPT pipeline on the CPU mesh)."""
+    out = tmp_path / "dist.bin"
+    rc = cli.main(
+        ["generate", str(glb), "-o", str(out), "--cells", "8",
+         "--distributed", "--devices", "2"]
+    )
+    assert rc == 0
+    from mesh_to_sdf_tpu.io import serde
+
+    back = serde.read_from_file(out)
+    assert back.distances.shape == (512,)
