@@ -62,6 +62,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.m2s_accessor_to_f32.restype = ctypes.c_int
     lib.m2s_accessor_to_u32.argtypes = [p_u8, u64, u64, u64, u32, u32, p_u32]
     lib.m2s_accessor_to_u32.restype = ctypes.c_int
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    lib.m2s_seed_bins.argtypes = [p_i32, p_i32, u64, p_u32, u32, p_u32]
+    lib.m2s_seed_bins.restype = u64
+    lib.m2s_copy_seed_bins.argtypes = [p_i32, p_i32]
+    lib.m2s_copy_seed_bins.restype = None
     lib.m2s_morton3d.argtypes = [p_f32, u64, p_f32, p_f32, p_u64]
     lib.m2s_morton3d.restype = None
     lib.m2s_argsort_u64.argtypes = [p_u64, u64, p_u32]
@@ -134,6 +139,31 @@ def accessor_to_u32(buf: bytes, base: int, stride: int, count: int,
     if rc != 0:
         raise ValueError(f"index decode failed (native rc={rc})")
     return out
+
+
+# ------------------------------------------------------------- seed binning
+def seed_bins(lo_cell: np.ndarray, hi_cell: np.ndarray, counts, k: int):
+    """Native CPT seed-bin layout (see ops/cpt.py::build_seed_bins).
+
+    lo_cell/hi_cell: (T, 3) int32 clipped window corners. Returns
+    (entry (R_pad, k) int32, rows_cell (R_pad,) int32, n_rounds int).
+    """
+    lib = _load()
+    assert lib is not None
+    lo = np.ascontiguousarray(lo_cell, np.int32)
+    hi = np.ascontiguousarray(hi_cell, np.int32)
+    cc = np.ascontiguousarray(counts, np.uint32)
+    rounds = ctypes.c_uint32()
+    r_pad = lib.m2s_seed_bins(
+        _ptr(lo, ctypes.c_int32), _ptr(hi, ctypes.c_int32), len(lo),
+        _ptr(cc, ctypes.c_uint32), k, ctypes.byref(rounds),
+    )
+    entry = np.empty((r_pad, k), np.int32)
+    rows = np.empty((r_pad,), np.int32)
+    lib.m2s_copy_seed_bins(
+        _ptr(entry, ctypes.c_int32), _ptr(rows, ctypes.c_int32)
+    )
+    return entry, rows, int(rounds.value)
 
 
 # ------------------------------------------------------------------- Morton

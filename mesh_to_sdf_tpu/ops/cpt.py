@@ -232,36 +232,65 @@ def build_seed_bins(grid: Grid, ha, hb, hc, *, k: int = 8) -> SeedBins:
 
     lo = np.minimum(np.minimum(ha, hb), hc) - 1e-4  # AABB_EPSILON inflation
     hi = np.maximum(np.maximum(ha, hb), hc) + 1e-4
-    lo_cell = np.floor((lo - bmin) / cs).astype(np.int64) - 1  # ±1 guard
-    hi_cell = np.floor((hi - bmin) / cs).astype(np.int64) + 1
-    lo_cell = np.clip(lo_cell, 0, counts - 1)
-    hi_cell = np.clip(hi_cell, 0, counts - 1)
+    lo_cell = np.floor((lo - bmin) / cs).astype(np.int32) - 1  # ±1 guard
+    hi_cell = np.floor((hi - bmin) / cs).astype(np.int32) + 1
+    counts32 = counts.astype(np.int32)
+    lo_cell = np.clip(lo_cell, 0, counts32 - 1)
+    hi_cell = np.clip(hi_cell, 0, counts32 - 1)
     w = np.maximum(hi_cell - lo_cell + 1, 0)  # (T, 3) window extents
-    n_per = w.prod(axis=1)
-
-    starts = np.zeros(T + 1, np.int64)
-    np.cumsum(n_per, out=starts[1:])
-    E = int(starts[-1])
+    n_per = w.prod(axis=1, dtype=np.int64)
+    E = int(n_per.sum())
     if E == 0:
         entry = np.full((1, k), T, np.int32)
         rows_cell = np.full((1,), N, np.int32)
         return SeedBins(entry, rows_cell, 0)
 
-    tri_of = np.repeat(np.arange(T, dtype=np.int64), n_per)
-    within = np.arange(E, dtype=np.int64) - starts[tri_of]
-    wyz = w[:, 1] * w[:, 2]
-    dx = within // wyz[tri_of]
-    rem = within % wyz[tri_of]
-    dy = rem // w[tri_of, 2]
-    dz = rem % w[tri_of, 2]
-    cx = lo_cell[tri_of, 0] + dx
-    cy = lo_cell[tri_of, 1] + dy
-    cz = lo_cell[tri_of, 2] + dz
-    flat = (cx * counts[1] + cy) * counts[2] + cz  # x-major (`grid.rs:122`)
+    if N < 2**31 - 1:
+        from .. import native
+
+        if native.available():  # C++ fast path (same layout contract)
+            entry, rows_cell, n_rounds = native.seed_bins(
+                lo_cell, hi_cell, np.asarray(grid.cell_count, np.uint32), k
+            )
+            return SeedBins(entry, rows_cell, n_rounds)
+
+    # Expand windows grouped by (wx, wy, wz): triangles sharing a window
+    # shape rasterize with one broadcast add — no per-entry divisions (the
+    # naive arange-divmod formulation is ~15× slower on one core).
+    base = int(w.max()) + 1
+    shape_key = (w[:, 0].astype(np.int64) * base + w[:, 1]) * base + w[:, 2]
+    uniq, inv = np.unique(shape_key, return_inverse=True)
+    flat_parts = []
+    tri_parts = []
+    tri_ids = np.arange(T, dtype=np.int32)
+    for j, key in enumerate(uniq):
+        wz = int(key % base)
+        wy = int((key // base) % base)
+        wx = int(key // (base * base))
+        if wx * wy * wz == 0:
+            continue
+        sel = np.flatnonzero(inv == j).astype(np.int32)
+        oz = np.arange(wz, dtype=np.int32)
+        oy = np.arange(wy, dtype=np.int32) * counts32[2]
+        ox = np.arange(wx, dtype=np.int32) * (counts32[1] * counts32[2])
+        offs = (
+            ox[:, None, None] + oy[None, :, None] + oz[None, None, :]
+        ).reshape(-1)
+        lc = lo_cell[sel]
+        base_flat = (
+            lc[:, 0] * counts32[1] + lc[:, 1]
+        ) * counts32[2] + lc[:, 2]
+        flat_parts.append(
+            (base_flat[:, None] + offs[None, :]).reshape(-1)
+        )
+        tri_parts.append(np.repeat(tri_ids[sel], wx * wy * wz))
+    flat = np.concatenate(flat_parts)  # x-major (`grid.rs:122`)
+    tri_of = np.concatenate(tri_parts)
+    E = flat.shape[0]
 
     order = np.argsort(flat, kind="stable")
     flat_s = flat[order]
-    tri_s = tri_of[order].astype(np.int32)
+    tri_s = tri_of[order]
 
     seg_start = np.empty(E, bool)
     seg_start[0] = True

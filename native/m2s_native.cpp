@@ -176,6 +176,127 @@ void m2s_argsort_u64(const uint64_t* keys, uint64_t n, uint32_t* out_perm) {
   }
 }
 
+// -------------------------------------------------------------- seed binning
+// Rasterizes triangle grid-window [lo_cell, hi_cell] ranges into per-cell
+// gather lists (the reference preheap's rasterization, grid.rs:383-456, done
+// with host integers; consumed by ops/cpt.py::seed_from_bins on device).
+// Layout contract matches the numpy implementation in ops/cpt.py::
+// build_seed_bins: a cell with c candidates occupies ceil(c/k) consecutive
+// rows; empty slots = T; padding rows' cell = N; rows padded to a power of
+// two (>= 8).
+namespace {
+std::vector<int32_t> g_bins_entry;
+std::vector<int32_t> g_bins_rows;
+}  // namespace
+
+// Returns R_pad (rows) and writes n_rounds; 0 on failure. Fetch the arrays
+// with m2s_copy_seed_bins (entry: R_pad*k int32, rows_cell: R_pad int32).
+uint64_t m2s_seed_bins(const int32_t* lo_cell,  // (T, 3) clipped
+                       const int32_t* hi_cell,  // (T, 3) clipped
+                       uint64_t T, const uint32_t* counts, uint32_t k,
+                       uint32_t* n_rounds) {
+  const int64_t ny = counts[1], nz = counts[2];
+  const int64_t N = (int64_t)counts[0] * ny * nz;
+  // Pass 1: count entries.
+  uint64_t E = 0;
+  for (uint64_t t = 0; t < T; ++t) {
+    const int32_t* lo = lo_cell + 3 * t;
+    const int32_t* hi = hi_cell + 3 * t;
+    int64_t wx = hi[0] - lo[0] + 1, wy = hi[1] - lo[1] + 1,
+            wz = hi[2] - lo[2] + 1;
+    if (wx > 0 && wy > 0 && wz > 0) E += (uint64_t)(wx * wy * wz);
+  }
+  uint64_t R_pad = 8;
+  if (E == 0) {
+    g_bins_entry.assign(R_pad * k, (int32_t)T);
+    g_bins_rows.assign(R_pad, (int32_t)std::min<int64_t>(N, INT32_MAX));
+    *n_rounds = 0;
+    return R_pad;
+  }
+  // Pass 2: expand (cell, tri) pairs.
+  std::vector<int32_t> flat(E), tri(E);
+  uint64_t e = 0;
+  for (uint64_t t = 0; t < T; ++t) {
+    const int32_t* lo = lo_cell + 3 * t;
+    const int32_t* hi = hi_cell + 3 * t;
+    for (int32_t x = lo[0]; x <= hi[0]; ++x)
+      for (int32_t y = lo[1]; y <= hi[1]; ++y) {
+        int64_t base = ((int64_t)x * ny + y) * nz;
+        for (int32_t z = lo[2]; z <= hi[2]; ++z) {
+          flat[e] = (int32_t)(base + z);
+          tri[e] = (int32_t)t;
+          ++e;
+        }
+      }
+  }
+  // LSD radix sort by cell id (2 × 16-bit passes), carrying tri.
+  std::vector<int32_t> flat2(E), tri2(E);
+  {
+    std::vector<uint32_t> hist(65536 + 1);
+    for (int pass = 0; pass < 2; ++pass) {
+      int shift = pass * 16;
+      std::fill(hist.begin(), hist.end(), 0);
+      for (uint64_t i = 0; i < E; ++i)
+        ++hist[((uint32_t)flat[i] >> shift) & 0xFFFF];
+      uint32_t sum = 0;
+      for (size_t b = 0; b < 65536; ++b) {
+        uint32_t c = hist[b];
+        hist[b] = sum;
+        sum += c;
+      }
+      for (uint64_t i = 0; i < E; ++i) {
+        uint32_t b = ((uint32_t)flat[i] >> shift) & 0xFFFF;
+        uint32_t p = hist[b]++;
+        flat2[p] = flat[i];
+        tri2[p] = tri[i];
+      }
+      flat.swap(flat2);
+      tri.swap(tri2);
+    }
+  }
+  // Pass 3: row layout. First count rows.
+  uint64_t R = 0, d_max = 1;
+  for (uint64_t i = 0; i < E;) {
+    uint64_t j = i;
+    while (j < E && flat[j] == flat[i]) ++j;
+    uint64_t c = j - i, rows = (c + k - 1) / k;
+    R += rows;
+    if (rows > d_max) d_max = rows;
+    i = j;
+  }
+  R_pad = 8;
+  while (R_pad < R) R_pad <<= 1;
+  g_bins_entry.assign(R_pad * k, (int32_t)T);
+  g_bins_rows.assign(R_pad, (int32_t)std::min<int64_t>(N, INT32_MAX));
+  uint64_t row = 0;
+  for (uint64_t i = 0; i < E;) {
+    uint64_t j = i;
+    while (j < E && flat[j] == flat[i]) ++j;
+    for (uint64_t p = i; p < j; ++p) {
+      uint64_t r = row + (p - i) / k, col = (p - i) % k;
+      g_bins_entry[r * k + col] = tri[p];
+      g_bins_rows[r] = flat[i];
+    }
+    row += (j - i + k - 1) / k;
+    i = j;
+  }
+  uint32_t rounds = 0;
+  while ((1ull << rounds) < d_max) ++rounds;
+  *n_rounds = rounds;
+  return R_pad;
+}
+
+void m2s_copy_seed_bins(int32_t* entry_out, int32_t* rows_out) {
+  std::memcpy(entry_out, g_bins_entry.data(),
+              g_bins_entry.size() * sizeof(int32_t));
+  std::memcpy(rows_out, g_bins_rows.data(),
+              g_bins_rows.size() * sizeof(int32_t));
+  g_bins_entry.clear();
+  g_bins_entry.shrink_to_fit();
+  g_bins_rows.clear();
+  g_bins_rows.shrink_to_fit();
+}
+
 // ------------------------------------------------------------ msgpack codec
 // Minimal msgpack writer for the SDF container (schema-specific; byte-equal
 // to Python msgpack.packb of the same envelope, use_bin_type=True).

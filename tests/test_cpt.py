@@ -311,3 +311,39 @@ def test_binned_seeds_empty_and_giant():
     dist, idx = cpt.closest_point_grid(g, ta, tb, tc, seed=seed)
     np.testing.assert_allclose(np.asarray(dist), want, rtol=1e-6, atol=1e-6)
     assert np.all(np.asarray(idx) == 0)
+
+
+def test_native_seed_bins_match_numpy():
+    """The C++ fast path produces the same (cell → candidate) sets and row
+    layout metadata as the numpy reference implementation."""
+    from baselines import make_icosphere
+    from mesh_to_sdf_tpu import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+
+    verts, faces = make_icosphere(subdiv=2)
+    tris = verts[faces]
+    g = Grid.from_bounding_box([-1.2] * 3, [1.2] * 3, [17, 15, 13])
+    b_nat = cpt.build_seed_bins(g, tris[:, 0], tris[:, 1], tris[:, 2])
+
+    # Force the numpy path.
+    lib, tried = native._lib, native._tried
+    native._lib, native._tried = None, True
+    try:
+        b_np = cpt.build_seed_bins(g, tris[:, 0], tris[:, 1], tris[:, 2])
+    finally:
+        native._lib, native._tried = lib, tried
+
+    assert b_nat.entry_tri.shape == b_np.entry_tri.shape
+    assert b_nat.n_shift_rounds == b_np.n_shift_rounds
+    np.testing.assert_array_equal(b_nat.rows_cell, b_np.rows_cell)
+
+    def pairs(b, T):
+        rows = np.repeat(b.rows_cell, b.entry_tri.shape[1])
+        ent = np.asarray(b.entry_tri).reshape(-1)
+        keep = ent < T
+        return set(zip(rows[keep].tolist(), ent[keep].tolist()))
+
+    T = len(tris)
+    assert pairs(b_nat, T) == pairs(b_np, T)
