@@ -112,8 +112,22 @@ def cmd_render(args) -> int:
     from .io import serde
     from .render import Camera, RaymarchMode, render, save_png
 
+    material = None
     if args.input.endswith((".glb", ".gltf")):
-        verts, faces = _load_mesh_arg(args.input)
+        if args.material:
+            from .io import gltf as gltf_mod
+            from .render import generate_cubemap
+
+            try:
+                scene = gltf_mod.load_scene(args.input, with_materials=True)
+            except gltf_mod.GltfError as e:
+                raise SystemExit(f"error: {e}") from e
+            verts, faces = scene.merge()
+            if len(faces) == 0:
+                raise SystemExit(f"error: {args.input} contains no triangles")
+            material = generate_cubemap(verts, faces, scene.merge_colors())
+        else:
+            verts, faces = _load_mesh_arg(args.input)
         grid = _build_grid(
             verts.min(axis=0), verts.max(axis=0), args.cells, args.extent_scale
         )
@@ -127,6 +141,11 @@ def cmd_render(args) -> int:
             )
         )
     else:
+        if args.material:
+            raise SystemExit(
+                "error: --material needs a mesh input (.glb/.gltf), not a "
+                "baked SDF"
+            )
         sdf = serde.read_from_file(args.input)
         if not isinstance(sdf, serde.GridSdf):
             raise SystemExit("error: render needs a grid SDF (kind=grid)")
@@ -142,7 +161,7 @@ def cmd_render(args) -> int:
     )
     img = render(
         dist, grid, cam, iso=args.iso, mode=RaymarchMode(args.mode),
-        shadows=not args.no_shadows,
+        shadows=not args.no_shadows, material=material,
     )
     save_png(args.output, np.asarray(img))
     print(f"wrote {args.output}", file=sys.stderr)
@@ -313,6 +332,11 @@ def main(argv=None) -> int:
     r.add_argument("--azimuth", type=float, default=30.0)
     r.add_argument("--elevation", type=float, default=25.0)
     r.add_argument("--no-shadows", action="store_true")
+    r.add_argument(
+        "--material", action="store_true",
+        help="project the mesh's glTF base-color materials onto the SDF via "
+             "a 6-face cubemap (mesh inputs only)",
+    )
     r.set_defaults(fn=cmd_render)
 
     i = sub.add_parser("info", help="describe a mesh or SDF file")

@@ -60,6 +60,10 @@ class MeshData:
     positions: np.ndarray  # (V, 3) float32
     indices: np.ndarray  # (M, 3) uint32
     normals: Optional[np.ndarray] = None  # (V, 3) float32 or None
+    #: Per-vertex albedo (V, 3) float32 — the material's baseColorFactor,
+    #: times the baseColorTexture sampled at each vertex's UV when
+    #: ``load_scene(..., with_materials=True)``. None = no material loaded.
+    colors: Optional[np.ndarray] = None
     name: str = ""
 
 
@@ -88,6 +92,25 @@ class SceneData:
         if not verts:
             return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint32)
         return np.concatenate(verts), np.concatenate(faces)
+
+    def merge_colors(self) -> np.ndarray:
+        """Per-vertex albedo aligned with :meth:`merge`'s vertex order.
+
+        Instances without material data get the client's grey-albedo
+        fallback (`pbr/model.rs:54-60`).
+        """
+        cols: List[np.ndarray] = []
+        for mesh_idx, _ in self.instances:
+            mesh = self.meshes[mesh_idx]
+            if mesh.colors is not None:
+                cols.append(np.asarray(mesh.colors, np.float32))
+            else:
+                cols.append(
+                    np.full((len(mesh.positions), 3), 0.6, np.float32)
+                )
+        if not cols:
+            return np.zeros((0, 3), np.float32)
+        return np.concatenate(cols)
 
     def bounding_box(self) -> Tuple[np.ndarray, np.ndarray]:
         v, _ = self.merge()
@@ -234,13 +257,107 @@ def _triangulate(indices: np.ndarray, mode: int) -> np.ndarray:
     raise GltfError(f"unsupported primitive mode {mode}")
 
 
+# ----------------------------------------------------------------- materials
+def _image_bytes(gltf: dict, buffers, img: dict, base_dir: Path) -> bytes:
+    if "bufferView" in img:
+        bv = gltf["bufferViews"][img["bufferView"]]
+        buf = buffers[bv.get("buffer", 0)]
+        off = bv.get("byteOffset", 0)
+        return bytes(buf[off : off + bv["byteLength"]])
+    uri = img.get("uri", "")
+    if uri.startswith("data:"):
+        import base64
+
+        return base64.b64decode(uri.split(",", 1)[1])
+    p = base_dir / uri
+    if not p.exists():
+        raise GltfError(f"image not found: {uri}")
+    return p.read_bytes()
+
+
+def _decode_image(gltf, buffers, img_idx: int, base_dir: Path, cache: dict):
+    """Decode an image to linear-RGB float32 (H, W, 3). Cached per index."""
+    if img_idx in cache:
+        return cache[img_idx]
+    import io as _io
+
+    from PIL import Image
+
+    data = _image_bytes(gltf, buffers, gltf["images"][img_idx], base_dir)
+    srgb = (
+        np.asarray(Image.open(_io.BytesIO(data)).convert("RGB"), np.float32)
+        / 255.0
+    )
+    linear = srgb**2.2  # sRGB decode (the GPU sampler does this in hardware)
+    cache[img_idx] = linear
+    return linear
+
+
+def _sample_texture(img: np.ndarray, uv: np.ndarray) -> np.ndarray:
+    """Bilinear sample with REPEAT wrap. img (H, W, 3); uv (V, 2) → (V, 3)."""
+    h, w = img.shape[:2]
+    x = (uv[:, 0] % 1.0) * w - 0.5
+    y = (uv[:, 1] % 1.0) * h - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    x0 %= w
+    y0 %= h
+    x1 = (x0 + 1) % w
+    y1 = (y0 + 1) % h
+    c00 = img[y0, x0]
+    c10 = img[y0, x1]
+    c01 = img[y1, x0]
+    c11 = img[y1, x1]
+    return (
+        c00 * (1 - fx) * (1 - fy)
+        + c10 * fx * (1 - fy)
+        + c01 * (1 - fx) * fy
+        + c11 * fx * fy
+    ).astype(np.float32)
+
+
+def _primitive_colors(gltf, buffers, prim, attrs, n_verts: int,
+                      base_dir: Path, img_cache: dict) -> np.ndarray:
+    """Per-vertex linear albedo for one primitive: baseColorFactor ×
+    baseColorTexture sampled at the vertex UVs (`pbr/model.rs:23-90`
+    semantics, vertex-resolution approximation of the texture)."""
+    factor = np.ones(3, np.float32)
+    tex = None
+    mat_idx = prim.get("material")
+    if mat_idx is not None and mat_idx < len(gltf.get("materials", [])):
+        pbr = gltf["materials"][mat_idx].get("pbrMetallicRoughness", {})
+        factor = np.asarray(
+            pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])[:3], np.float32
+        )
+        tex_info = pbr.get("baseColorTexture")
+        if tex_info is not None:
+            texture = gltf.get("textures", [])[tex_info["index"]]
+            src = texture.get("source")
+            uv_attr = f"TEXCOORD_{tex_info.get('texCoord', 0)}"
+            if src is not None and uv_attr in attrs:
+                img = _decode_image(gltf, buffers, src, base_dir, img_cache)
+                uv = _read_accessor(gltf, buffers, attrs[uv_attr]).astype(
+                    np.float32
+                )
+                tex = _sample_texture(img, uv[:, :2])
+    colors = np.broadcast_to(factor, (n_verts, 3)).copy()
+    if tex is not None:
+        colors *= tex
+    return colors.astype(np.float32)
+
+
 # --------------------------------------------------------------------- public
-def load_scene(path) -> SceneData:
+def load_scene(path, *, with_materials: bool = False) -> SceneData:
     """Load a .glb/.gltf file into a flattened :class:`SceneData`.
 
     The analog of `gltf::load_scene` (`gltf/mod.rs:56-103`): every mesh
     primitive becomes a :class:`MeshData`; every node referencing a mesh
-    becomes an instance with its world transform.
+    becomes an instance with its world transform. ``with_materials=True``
+    additionally resolves each primitive's base color (factor × texture
+    sampled at the vertex UVs) into per-vertex albedo — the ingestion half
+    of the client's cubemap material projection (`cubemap.rs:160-311`).
     """
     path = Path(path)
     if not path.exists():
@@ -258,6 +375,7 @@ def load_scene(path) -> SceneData:
 
     scene = SceneData()
     prim_map: Dict[Tuple[int, int], int] = {}  # (mesh, prim) -> MeshData idx
+    img_cache: Dict[int, np.ndarray] = {}
 
     for mi, mesh in enumerate(gltf.get("meshes", [])):
         for pi, prim in enumerate(mesh.get("primitives", [])):
@@ -284,12 +402,19 @@ def load_scene(path) -> SceneData:
                 normals = _read_accessor(gltf, buffers, attrs["NORMAL"]).astype(
                     np.float32
                 )
+            colors = None
+            if with_materials:
+                colors = _primitive_colors(
+                    gltf, buffers, prim, attrs, len(pos), path.parent,
+                    img_cache,
+                )
             prim_map[(mi, pi)] = len(scene.meshes)
             scene.meshes.append(
                 MeshData(
                     positions=pos,
                     indices=tris,
                     normals=normals,
+                    colors=colors,
                     name=mesh.get("name", f"mesh{mi}p{pi}"),
                 )
             )

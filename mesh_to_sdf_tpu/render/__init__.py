@@ -10,6 +10,7 @@ from .raymarch import Camera, render, trace, estimate_normal
 from .isosurface import ordered_indices, iso_limits, voxel_band, surface_cells, point_cloud
 from .image import save_png, to_uint8
 from .splat import colorize_distances, render_points, render_sdf_points
+from .cubemap import Cubemap, generate_cubemap, sample_cubemap
 
 __all__ = [
     "RaymarchMode", "sample", "sample_snap", "sample_trilinear",
@@ -17,4 +18,5 @@ __all__ = [
     "ordered_indices", "iso_limits", "voxel_band", "surface_cells",
     "point_cloud", "save_png", "to_uint8",
     "colorize_distances", "render_points", "render_sdf_points",
+    "Cubemap", "generate_cubemap", "sample_cubemap",
 ]

@@ -183,6 +183,7 @@ def render(
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     max_steps: int = MAX_STEPS,
     shadows: bool = True,
+    material=None,
 ) -> jax.Array:
     """Render the SDF grid to an (H, W, 3) float image in [0, 1].
 
@@ -190,6 +191,10 @@ def render(
     color (the client's no-material mix), ambient 0.2, diffuse + Blinn
     specular, per-channel exponential attenuation; hard shadows by re-tracing
     toward the light (offline stand-in for the shadow map + PCF).
+
+    ``material``: optional :class:`.cubemap.Cubemap` — surface albedo from
+    6-direction visibility-weighted projection instead of ``base_color``
+    (`draw_raymarching.wgsl:364-441`).
     """
     origins, directions = camera.rays()
     pos, d, hit = trace(dist, grid, origins, directions, iso, mode, max_steps)
@@ -226,9 +231,14 @@ def render(
 
     ambient = 0.2
     brightness = ambient + (diffuse + specular) * lit
-    color = jnp.broadcast_to(
-        jnp.asarray(base_color, jnp.float32), pos.shape
-    )
+    if material is not None:
+        from .cubemap import sample_cubemap
+
+        color = sample_cubemap(material, pos, normal)
+    else:
+        color = jnp.broadcast_to(
+            jnp.asarray(base_color, jnp.float32), pos.shape
+        )
     # Per-channel exponential attenuation (`draw_raymarching.wgsl:353-356`).
     atten = jnp.stack(
         [

@@ -132,3 +132,21 @@ def test_generate_distributed_args_accepted(glb, tmp_path):
 
     back = serde.read_from_file(out)
     assert back.distances.shape == (512,)
+
+
+def test_render_with_material_flag(tmp_path):
+    """--material: glb → cubemap-textured render (ferris3d has a texture)."""
+    asset = "/root/reference/mesh_to_sdf/assets/ferris3d.glb"
+    import os
+
+    if not os.path.exists(asset):
+        pytest.skip("reference assets not mounted")
+    out = tmp_path / "mat.png"
+    rc = cli.main(
+        ["render", asset, "-o", str(out), "--cells", "24",
+         "--material", "--width", "64", "--height", "64", "--no-shadows"]
+    )
+    assert rc == 0
+    img = np.asarray(__import__("PIL.Image", fromlist=["Image"]).open(out))
+    assert img.shape[:2] == (64, 64)
+    assert img.max() > 10  # non-black
