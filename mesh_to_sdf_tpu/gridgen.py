@@ -41,6 +41,59 @@ AUTO_DENSE_PAIRS_PER_S = 5.0e10
 AUTO_CPT_OVERHEAD_S = 0.15
 AUTO_CPT_CELLS_PER_S = 2.0e8
 
+#: Content-hashed cache of CPT host prep (subdivision + seed bins): repeated
+#: calls on the same mesh/grid skip the host rasterization (~0.2-0.35 s at
+#: 256³). Keyed by (vertex bytes, face bytes, grid, max_edge); tiny FIFO.
+_CPT_PREP_CACHE: dict = {}
+_CPT_PREP_CACHE_MAX = 4
+
+
+def _cpt_prep(grid: Grid, ha, hb, hc):
+    """(stacked device soup (3,T,3), device SeedBins) — cached by content."""
+    import zlib
+
+    from .ops import cpt as cpt_mod
+
+    cs = float(np.max(np.abs(np.asarray(grid.cell_size))))
+    max_edge = 8.0 * cs
+    tris_np = np.ascontiguousarray(np.stack([ha, hb, hc], axis=1))  # (T,3,3)
+    key = (
+        zlib.adler32(tris_np.tobytes()),
+        tris_np.shape[0],
+        tuple(np.asarray(grid.first_cell, np.float32).tolist()),
+        tuple(np.asarray(grid.cell_size, np.float32).tolist()),
+        tuple(int(c) for c in grid.cell_count),
+    )
+    hit = _CPT_PREP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    edges = np.linalg.norm(tris_np - np.roll(tris_np, 1, axis=1), axis=2)
+    if float(edges.max()) > max_edge:
+        # Bound a giant triangle's rasterized seed volume (loose 8-cell cap;
+        # surface-identical ⇒ distances/sign unchanged).
+        ra, rb, rc = cpt_mod.subdivide_to_span(
+            tris_np.reshape(-1, 3),
+            np.arange(3 * len(ha), dtype=np.int64).reshape(-1, 3),
+            max_edge=max_edge,
+        )
+    else:
+        ra, rb, rc = tris_np[:, 0], tris_np[:, 1], tris_np[:, 2]
+    bins = cpt_mod.build_seed_bins(grid, ra, rb, rc)
+    # Cache DEVICE arrays: the big cell_row map uploads once per mesh/grid.
+    out = (
+        jnp.asarray(np.stack([ra, rb, rc])),
+        cpt_mod.SeedBins(
+            jnp.asarray(bins.entry_tri),
+            jnp.asarray(bins.rows_cell),
+            jnp.asarray(bins.cell_row),
+            bins.n_shift_rounds,
+        ),
+    )
+    if len(_CPT_PREP_CACHE) >= _CPT_PREP_CACHE_MAX:
+        _CPT_PREP_CACHE.pop(next(iter(_CPT_PREP_CACHE)))
+    _CPT_PREP_CACHE[key] = out
+    return out
+
 
 @functools.partial(
     jax.jit,
@@ -48,7 +101,7 @@ AUTO_CPT_CELLS_PER_S = 2.0e8
                      "seed_rounds"),
 )
 def _cpt_grid_signed(grid, tris, tris_orig, seed_entry, seed_rows,
-                     raycast: bool, on_tpu: bool, flat: bool,
+                     seed_cellrow, raycast: bool, on_tpu: bool, flat: bool,
                      raycast_axes: int = 3, seed_rounds: int = 0):
     """Fused CPT distance + sign for one grid (single dispatch).
 
@@ -68,7 +121,7 @@ def _cpt_grid_signed(grid, tris, tris_orig, seed_entry, seed_rows,
     ra, rb, rc = tris[0], tris[1], tris[2]
     seed = cpt_mod.seed_from_bins(
         grid, ra, rb, rc,
-        cpt_mod.SeedBins(seed_entry, seed_rows, seed_rounds),
+        cpt_mod.SeedBins(seed_entry, seed_rows, seed_cellrow, seed_rounds),
     )
     if on_tpu:
         dist3, idx3 = cpt_mod.closest_point_grid_pallas(
@@ -189,31 +242,16 @@ def generate_grid_sdf(
         ha, hb, hc = gather_triangle_vertices(v_host, topo)
         if len(ha) > 0:
             # Seeds come from host-binned AABB±1 rasterization (exact
-            # coverage, no fixed window). Subdivision is only needed to
-            # bound a giant triangle's rasterized volume — a loose 8-cell
-            # edge cap (surface-identical ⇒ distances/sign unchanged).
-            cs = float(np.max(np.abs(np.asarray(grid.cell_size))))
-            tris_np = np.stack([ha, hb, hc], axis=1)  # (T, 3, 3)
-            edges = np.linalg.norm(
-                tris_np - np.roll(tris_np, 1, axis=1), axis=2
-            )
-            max_edge = 8.0 * cs
-            if float(edges.max()) > max_edge:
-                ra, rb, rc = cpt_mod.subdivide_to_span(
-                    tris_np.reshape(-1, 3),
-                    np.arange(3 * len(ha), dtype=np.int64).reshape(-1, 3),
-                    max_edge=max_edge,
-                )
-            else:
-                ra, rb, rc = tris_np[:, 0], tris_np[:, 1], tris_np[:, 2]
-            bins = cpt_mod.build_seed_bins(grid, ra, rb, rc)
+            # coverage, no fixed window), cached by mesh/grid content.
+            tris_dev, bins = _cpt_prep(grid, ha, hb, hc)
             # One upload + one jitted program for the whole device pipeline.
             out, ovf = _cpt_grid_signed(
                 grid,
-                jnp.asarray(np.stack([ra, rb, rc])),
+                tris_dev,
                 jnp.asarray(np.stack([ha, hb, hc])),
-                jnp.asarray(bins.entry_tri),
-                jnp.asarray(bins.rows_cell),
+                bins.entry_tri,
+                bins.rows_cell,
+                bins.cell_row,
                 raycast=sign == SignMethod.RAYCAST,
                 on_tpu=jax.default_backend() == "tpu",
                 flat=flat,

@@ -65,7 +65,7 @@ def _load() -> Optional[ctypes.CDLL]:
     p_i32 = ctypes.POINTER(ctypes.c_int32)
     lib.m2s_seed_bins.argtypes = [p_i32, p_i32, u64, p_u32, u32, p_u32]
     lib.m2s_seed_bins.restype = u64
-    lib.m2s_copy_seed_bins.argtypes = [p_i32, p_i32]
+    lib.m2s_copy_seed_bins.argtypes = [p_i32, p_i32, p_i32]
     lib.m2s_copy_seed_bins.restype = None
     lib.m2s_morton3d.argtypes = [p_f32, u64, p_f32, p_f32, p_u64]
     lib.m2s_morton3d.restype = None
@@ -146,24 +146,28 @@ def seed_bins(lo_cell: np.ndarray, hi_cell: np.ndarray, counts, k: int):
     """Native CPT seed-bin layout (see ops/cpt.py::build_seed_bins).
 
     lo_cell/hi_cell: (T, 3) int32 clipped window corners. Returns
-    (entry (R_pad, k) int32, rows_cell (R_pad,) int32, n_rounds int).
+    (entry (k, R_pad) int32 — K-major, see SeedBins, rows_cell (R_pad,)
+    int32, cell_row (N,) int32, n_rounds int).
     """
     lib = _load()
     assert lib is not None
     lo = np.ascontiguousarray(lo_cell, np.int32)
     hi = np.ascontiguousarray(hi_cell, np.int32)
     cc = np.ascontiguousarray(counts, np.uint32)
+    n_cells = int(np.prod(cc.astype(np.int64)))
     rounds = ctypes.c_uint32()
     r_pad = lib.m2s_seed_bins(
         _ptr(lo, ctypes.c_int32), _ptr(hi, ctypes.c_int32), len(lo),
         _ptr(cc, ctypes.c_uint32), k, ctypes.byref(rounds),
     )
-    entry = np.empty((r_pad, k), np.int32)
+    entry = np.empty((k, r_pad), np.int32)
     rows = np.empty((r_pad,), np.int32)
+    cell_row = np.empty((n_cells,), np.int32)
     lib.m2s_copy_seed_bins(
-        _ptr(entry, ctypes.c_int32), _ptr(rows, ctypes.c_int32)
+        _ptr(entry, ctypes.c_int32), _ptr(rows, ctypes.c_int32),
+        _ptr(cell_row, ctypes.c_int32),
     )
-    return entry, rows, int(rounds.value)
+    return entry, rows, cell_row, int(rounds.value)
 
 
 # ------------------------------------------------------------------- Morton

