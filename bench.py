@@ -142,8 +142,29 @@ def main():
         guarded("knight_query_grid_r0.01_pallas", knight_queries)
 
         # Reference criterion big_big: FlightHelmet merged (94,722 tris),
-        # 1M scattered queries; CULLED = the Rtree/RtreeBvh analog.
-        def helmet_culled():
+        # query grid at cell_radius 0.01 over the bbox — the crate's literal
+        # workload (`generate_sdf.rs:216-236`). CULLED ≙ Rtree/RtreeBvh.
+        def helmet_query_grid():
+            hv, hf = load("FlightHelmet")
+            htopo = Topology.triangle_list(hf.reshape(-1))
+            q = _query_grid(hv, 0.01)
+            def f():
+                d = generate_sdf(hv, htopo, q, Strategy.CULLED,
+                                 sign_method=SignMethod.RAYCAST)
+                float(jax.numpy.sum(d))
+            t = _timeit(f, 2)
+            qps = len(q) / t
+            return {
+                "tris": int(len(hf)),
+                "queries": int(len(q)),
+                "queries_per_s": round(qps, 1),
+                "vs_rtree_bvh_1core": round(qps / BASELINE_QUERIES_PER_S, 2),
+            }
+
+        guarded("flighthelmet_query_grid_culled", helmet_query_grid)
+
+        # Worst case for tile culling: 1M uniformly scattered queries.
+        def helmet_scattered():
             hv, hf = load("FlightHelmet")
             htopo = Topology.triangle_list(hf.reshape(-1))
             rng = np.random.default_rng(1)
@@ -159,12 +180,11 @@ def main():
             t = _timeit(f, 2)
             qps = len(q) / t
             return {
-                "tris": int(len(hf)),
                 "queries_per_s": round(qps, 1),
                 "vs_rtree_bvh_1core": round(qps / BASELINE_QUERIES_PER_S, 2),
             }
 
-        guarded("flighthelmet_1M_queries_culled", helmet_culled)
+        guarded("flighthelmet_1M_scattered_culled", helmet_scattered)
 
         # Reference criterion: knight grid at 100^3 raycast
         # (`generate_grid_sdf.rs:68-96`).

@@ -366,6 +366,9 @@ def sdf_raycast_pallas(
     return jnp.where(inside, -dist, dist)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("raycast_axes", "tq", "tb_block", "interpret")
+)
 def sdf_raycast_parts_pallas(
     queries, ta, tb, tc, *, raycast_axes: int = 3, tq: int = DEFAULT_TQ,
     tb_block: int = DEFAULT_TB, interpret: bool = False,
@@ -472,6 +475,7 @@ def sdf_normal_pallas(
     return combine_champions(minpos, minneg)
 
 
+@functools.partial(jax.jit, static_argnames=("tq", "tb_block", "interpret"))
 def sdf_normal_champions_pallas(queries, ta, tb, tc, *, tq: int = DEFAULT_TQ,
                                 tb_block: int = DEFAULT_TB,
                                 interpret: bool = False):

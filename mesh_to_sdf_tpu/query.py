@@ -59,6 +59,29 @@ def prepare_triangles(vertices, topology: Optional[Topology], tri_block: int):
     )
 
 
+#: Content-hashed cache of CULLED sign grids (one per mesh; queries vary).
+_SIGN_GRID_CACHE: dict = {}
+_SIGN_GRID_CACHE_MAX = 4
+#: Below this many queries the O(Q·T) parity sweep beats building a grid
+#: (the grid is cached per mesh, so the bar is low).
+SIGN_GRID_MIN_QUERIES = 4096
+
+
+def _sign_grid_cached(ta, tb, tc, valid, n_tris: int):
+    import zlib
+
+    from .ops import culling
+
+    key = (zlib.adler32(np.asarray(ta[:n_tris]).tobytes()), int(n_tris))
+    sg = _SIGN_GRID_CACHE.get(key)
+    if sg is None:
+        sg = culling.build_sign_grid(ta, tb, tc, valid)
+        if len(_SIGN_GRID_CACHE) >= _SIGN_GRID_CACHE_MAX:
+            _SIGN_GRID_CACHE.pop(next(iter(_SIGN_GRID_CACHE)))
+        _SIGN_GRID_CACHE[key] = sg
+    return sg
+
+
 def generate_sdf(
     vertices,
     topology: Optional[Topology],
@@ -111,20 +134,19 @@ def generate_sdf(
     if strategy == Strategy.CULLED and n_tris > 0:
         from .ops import culling
 
-        parity_bins = None
-        if sign == SignMethod.RAYCAST and n_tris > 2 * culling.DEFAULT_K:
-            # Host 2D binning (≙ the reference's BVH build phase,
-            # `rtree_bvh.rs:108-119`): each ray then tests only its tile's
-            # triangles instead of the whole soup.
-            ha, hb, hc = (np.asarray(x[:n_tris]) for x in (ta, tb, tc))
-            parity_bins = tuple(
-                culling.build_parity_bins(ha, hb, hc, axis)
-                for axis in range(raycast_axes)
-            )
+        sign_grid = None
+        if (sign == SignMethod.RAYCAST and n_tris > 2 * culling.DEFAULT_K
+                and Q >= SIGN_GRID_MIN_QUERIES):
+            # Coarse exact parity grid (≙ the reference's BVH build phase,
+            # `rtree_bvh.rs:108-119`), cached per mesh content: signs every
+            # query outside the thin near-surface shell without touching
+            # the triangle soup. Small batches keep the per-query sweep
+            # (the grid build wouldn't amortize).
+            sign_grid = _sign_grid_cached(ta, tb, tc, valid, n_tris)
         return culling.query_sdf_culled(
             jnp.asarray(q), ta, tb, tc, valid,
             sign_method=sign, raycast_axes=raycast_axes,
-            parity_bins=parity_bins, n_valid_tris=n_tris,
+            n_valid_tris=n_tris, sign_grid=sign_grid,
         )[:Q]
 
     chunk = min(query_chunk, max(Q, 1))

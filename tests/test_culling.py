@@ -45,16 +45,17 @@ def test_query_culled_matches_xla(big_sphere, rng):
 
 
 def test_query_culled_overflow_retry_is_exact(big_sphere, rng):
-    """A tiny k forces overflow; the informed retry must restore exactness."""
+    """A tiny k forces overflow; the per-tile dense recompute must restore
+    exactness."""
     verts, faces = big_sphere
     ta, tb, tc, valid, _ = _tris(verts, faces)
     q = jnp.asarray(rng.uniform(-1.3, 1.3, (600, 3)).astype(np.float32))
 
     # Verify the small-k pass alone is genuinely flagged as unreliable.
-    _, needed = culling._query_culled_dist(
+    _, q_ovf = culling._query_culled_dist(
         q, ta, tb, tc, valid, sign_method=SignMethod.NORMAL, k=8, tile=256
     )
-    assert needed is not None and needed > 8
+    assert q_ovf is not None and int(jnp.sum(q_ovf)) > 0
 
     got = np.asarray(
         culling.query_sdf_culled(
@@ -199,3 +200,47 @@ def test_query_culled_with_parity_bins_end_to_end(big_sphere, rng):
                        sign_method=SignMethod.RAYCAST)
     )
     np.testing.assert_allclose(culled, exact, rtol=1e-5, atol=1e-6)
+
+
+def test_sign_grid_transfer_exact(big_sphere, rng):
+    """Sign-grid signing == per-query parity on a watertight mesh: the
+    component-transfer argument (d(q) > reach ⇒ same sign as the cell
+    center) plus the near-surface parity fallback must give identical signs."""
+    verts, faces = big_sphere
+    ta, tb, tc, valid, n = _tris(verts, faces)
+    q = jnp.asarray(rng.uniform(-1.4, 1.4, (3000, 3)).astype(np.float32))
+
+    sg = culling.build_sign_grid(ta, tb, tc, valid, res=24)
+    # Exact unsigned distances for the transfer test.
+    from mesh_to_sdf_tpu.ops import brute
+
+    d = brute.sdf_brute(
+        q, ta, tb, tc, valid, sign_method=SignMethod.RAYCAST,
+        raycast_axes=0, query_chunk=q.shape[0],
+    )
+    inside = np.asarray(
+        culling.signs_from_grid(q, d, sg, ta, tb, tc, valid)
+    )
+    counts = np.asarray(culling._ray_parity_counts(q, ta, tb, tc, valid, 3))
+    want = (counts % 2 == 1).sum(axis=1) >= 2
+    np.testing.assert_array_equal(inside, want)
+
+
+def test_query_culled_with_sign_grid(big_sphere, rng):
+    """query_sdf_culled with an explicit sign grid == the exact engine."""
+    verts, faces = big_sphere
+    ta, tb, tc, valid, n = _tris(verts, faces)
+    q = jnp.asarray(rng.uniform(-1.3, 1.3, (2000, 3)).astype(np.float32))
+    sg = culling.build_sign_grid(ta, tb, tc, valid, res=24)
+    got = np.asarray(
+        culling.query_sdf_culled(
+            q, ta, tb, tc, valid, sign_method=SignMethod.RAYCAST,
+            sign_grid=sg,
+        )
+    )
+    topo = Topology.triangle_list(faces.reshape(-1))
+    want = np.asarray(
+        m.generate_sdf(verts, topo, np.asarray(q), Strategy.XLA,
+                       sign_method=SignMethod.RAYCAST)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
