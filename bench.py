@@ -45,15 +45,15 @@ def _timeit(fn, repeats):
 
 
 def _query_grid(verts, cell_radius, scale=1.0):
-    """The reference bench's query grid: cell centers of a grid with cubic
-    cells of half-extent `cell_radius` over the mesh bbox
-    (`benches/generate_sdf.rs:22-58`)."""
+    """The reference bench's query grid: lattice points stepped by
+    ``cell_radius`` over the mesh bbox (`benches/generate_sdf.rs:34-49` —
+    the loop literally increments coordinates by cell_radius)."""
     from mesh_to_sdf_tpu import Grid
 
     lo = verts.min(axis=0)
     hi = verts.max(axis=0)
-    cs = 2.0 * cell_radius * scale
-    counts = np.maximum(((hi - lo) / cs).astype(int) + 1, 1)
+    cs = cell_radius * scale
+    counts = np.maximum(np.ceil((hi - lo) / cs).astype(int), 1)
     g = Grid.from_bounding_box(lo, hi, [int(c) for c in counts])
     return np.asarray(g.all_cell_centers()).reshape(-1, 3)
 

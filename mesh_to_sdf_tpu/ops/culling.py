@@ -57,7 +57,8 @@ def select_candidates(tile_centers, tile_radius, ta, tb, tc, valid, k):
 
 def query_sdf_culled(queries, ta, tb, tc, valid, *, sign_method, raycast_axes=3,
                      k: int = DEFAULT_K, tile: int = 1024, parity_bins=None,
-                     n_valid_tris: Optional[int] = None, sign_grid=None):
+                     n_valid_tris: Optional[int] = None, sign_grid=None,
+                     block_index=None):
     """generate_sdf with Morton-ordered query tiling + candidate culling —
     the analog of the reference's Rtree/RtreeBvh backends (`rtree.rs:96-126`,
     `rtree_bvh.rs:123-173`). Exact: a tile whose bound holds more than k
@@ -81,9 +82,18 @@ def query_sdf_culled(queries, ta, tb, tc, valid, *, sign_method, raycast_axes=3,
             raycast_axes=raycast_axes if sign_method == SignMethod.RAYCAST else 0,
         )
     n_valid = int(jnp.sum(valid))
-    dist, q_overflow = _query_culled_dist(
-        queries, ta, tb, tc, valid, sign_method=sign_method, k=k, tile=tile
-    )
+    if block_index is not None and sign_method == SignMethod.RAYCAST:
+        # Scalar-prefetch Pallas path: per-tile candidate blocks DMA'd to
+        # VMEM once, shared by the tile's queries (vs per-query gathers).
+        dist, q_overflow = query_dist_culled_blocks(
+            queries, block_index,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        dist, q_overflow = _query_culled_dist(
+            queries, ta, tb, tc, valid, sign_method=sign_method, k=k,
+            tile=tile,
+        )
     if q_overflow is not None:
         # Queries in tiles whose bound holds > k triangles (typically sparse
         # Morton tiles spanning a huge region): recompute JUST those with
@@ -159,6 +169,51 @@ def _ceil_pow2(n: int) -> int:
     while k < n:
         k *= 2
     return k
+
+
+@functools.partial(jax.jit, static_argnames=("qt", "nb", "interpret"))
+def _culled_blocks_impl(queries, bi, *, qt, nb, interpret):
+    from .kernels import pallas_culled
+
+    Q = queries.shape[0]
+    order = _morton_order(queries)
+    q_sorted = queries[order]
+    pad = (-Q) % qt
+    q_pad = jnp.pad(q_sorted, ((0, pad), (0, 0)))
+    q_tiles = q_pad.reshape(-1, qt, 3)
+    tbl, lb_excl, radius = pallas_culled.select_blocks(
+        q_tiles, bi, nb=nb, qt=qt
+    )
+    dist = pallas_culled.culled_dist_pallas(
+        q_pad, bi, tbl, nb=nb, qt=qt, interpret=interpret
+    )[:Q]
+    # Post-hoc PER-QUERY certificate: a triangle in an excluded block is ≥
+    # lb_excluded - |q - tile_center| from q (sharper than the tile-radius
+    # form for queries near their tile center).
+    centers = (jnp.max(q_tiles, axis=1) + jnp.min(q_tiles, axis=1)) * 0.5
+    c_q = jnp.repeat(centers, qt, axis=0)[:Q]
+    cert = jnp.repeat(lb_excl, qt)[:Q] - jnp.linalg.norm(
+        q_sorted[:Q] - c_q, axis=-1
+    )
+    q_overflow = dist > cert * (1.0 - 1e-6)
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(Q))
+    return dist[inv], q_overflow[inv]
+
+
+def query_dist_culled_blocks(queries, block_index, *, qt=None, nb=None,
+                             interpret: bool = False):
+    """Unsigned min distances via the scalar-prefetch block kernel
+    (ops/kernels/pallas_culled.py). Returns (dist, q_overflow|None)."""
+    from .kernels import pallas_culled
+
+    qt = qt or pallas_culled.DEFAULT_QT
+    nb = nb or pallas_culled.DEFAULT_NB
+    dist, q_overflow = _culled_blocks_impl(
+        queries, block_index, qt=qt, nb=nb, interpret=interpret
+    )
+    if bool(jnp.any(q_overflow)):
+        return dist, q_overflow
+    return dist, None
 
 
 def _query_culled_dist(queries, ta, tb, tc, valid, *, sign_method, k, tile):

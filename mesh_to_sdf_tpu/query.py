@@ -82,6 +82,30 @@ def _sign_grid_cached(ta, tb, tc, valid, n_tris: int):
     return sg
 
 
+#: Content-hashed cache of Morton block indexes (the culled kernel's
+#: per-mesh spatial structure, ≙ the reference's R-tree bulk_load).
+_BLOCK_INDEX_CACHE: dict = {}
+_BLOCK_INDEX_CACHE_MAX = 4
+
+
+def _block_index_cached(ta, tb, tc, n_tris: int):
+    import zlib
+
+    from .ops.kernels import pallas_culled
+
+    key = (zlib.adler32(np.asarray(ta[:n_tris]).tobytes()), int(n_tris), "bi")
+    bi = _BLOCK_INDEX_CACHE.get(key)
+    if bi is None:
+        bi = pallas_culled.build_block_index(
+            np.asarray(ta[:n_tris]), np.asarray(tb[:n_tris]),
+            np.asarray(tc[:n_tris]),
+        )
+        if len(_BLOCK_INDEX_CACHE) >= _BLOCK_INDEX_CACHE_MAX:
+            _BLOCK_INDEX_CACHE.pop(next(iter(_BLOCK_INDEX_CACHE)))
+        _BLOCK_INDEX_CACHE[key] = bi
+    return bi
+
+
 def generate_sdf(
     vertices,
     topology: Optional[Topology],
@@ -113,8 +137,6 @@ def generate_sdf(
     ta, tb, tc, valid, n_tris = prepare_triangles(vertices, topology, tri_block)
 
     if strategy == Strategy.PALLAS and n_tris > 0:
-        import jax
-
         from .ops.kernels import pallas_sdf
 
         qj = jnp.asarray(q)
@@ -135,6 +157,7 @@ def generate_sdf(
         from .ops import culling
 
         sign_grid = None
+        block_index = None
         if (sign == SignMethod.RAYCAST and n_tris > 2 * culling.DEFAULT_K
                 and Q >= SIGN_GRID_MIN_QUERIES):
             # Coarse exact parity grid (≙ the reference's BVH build phase,
@@ -143,10 +166,15 @@ def generate_sdf(
             # the triangle soup. Small batches keep the per-query sweep
             # (the grid build wouldn't amortize).
             sign_grid = _sign_grid_cached(ta, tb, tc, valid, n_tris)
+            if jax.default_backend() == "tpu":
+                # Morton block index (≙ R-tree bulk_load) feeding the
+                # scalar-prefetch distance kernel.
+                block_index = _block_index_cached(ta, tb, tc, n_tris)
         return culling.query_sdf_culled(
             jnp.asarray(q), ta, tb, tc, valid,
             sign_method=sign, raycast_axes=raycast_axes,
             n_valid_tris=n_tris, sign_grid=sign_grid,
+            block_index=block_index,
         )[:Q]
 
     chunk = min(query_chunk, max(Q, 1))

@@ -244,3 +244,74 @@ def test_query_culled_with_sign_grid(big_sphere, rng):
                        sign_method=SignMethod.RAYCAST)
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_block_culled_kernel_matches_brute(big_sphere, rng):
+    """Scalar-prefetch block kernel (interpret mode): exact distances where
+    no tile overflows; overflowed tiles flagged for dense recompute."""
+    from mesh_to_sdf_tpu.ops import brute
+    from mesh_to_sdf_tpu.ops.kernels import pallas_culled
+
+    verts, faces = big_sphere
+    ta, tb, tc, valid, n = _tris(verts, faces)
+    # Slice to a count NOT divisible by TB: exercises the pad-row planes
+    # (a historical bug computed edge planes from padded vertices → inf).
+    n = n - 7
+    ta, tb, tc = ta[:n], tb[:n], tc[:n]
+    valid = valid[:n]
+    bi = pallas_culled.build_block_index(
+        np.asarray(ta), np.asarray(tb), np.asarray(tc)
+    )
+    assert bi.n_blocks == (n + pallas_culled.TB - 1) // pallas_culled.TB
+
+    # Clustered queries → tight Morton tiles → few candidate blocks (the
+    # regime the kernel exists for); scattered tiles overflow and are
+    # flagged instead.
+    centers = rng.uniform(-1.2, 1.2, (12, 3)).astype(np.float32)
+    q = (centers[:, None, :]
+         + rng.normal(0, 0.03, (12, 128, 3)).astype(np.float32)
+         ).reshape(-1, 3)
+    q = jnp.asarray(q)
+    dist, q_ovf = culling._culled_blocks_impl(
+        q, bi, qt=128, nb=8, interpret=True
+    )
+    ta_p, tb_p, tc_p, valid_p, blk = brute.pad_tri_blocks(
+        ta, tb, tc, valid, 512
+    )
+    want = np.asarray(
+        brute.sdf_brute(
+            q, ta_p, tb_p, tc_p, valid_p, sign_method=SignMethod.RAYCAST,
+            raycast_axes=0, tri_block=blk, query_chunk=q.shape[0],
+        )
+    )
+    ok = ~np.asarray(q_ovf)
+    assert ok.any(), "clustered tiles should fit the candidate budget"
+    np.testing.assert_allclose(
+        np.asarray(dist)[ok], want[ok], rtol=2e-4, atol=1e-5
+    )
+
+
+def test_query_culled_block_path_end_to_end(big_sphere, rng):
+    """query_sdf_culled with a block index == the exact engine (overflowed
+    tiles recomputed densely; sign via grid transfer)."""
+    from mesh_to_sdf_tpu.ops.kernels import pallas_culled
+
+    verts, faces = big_sphere
+    ta, tb, tc, valid, n = _tris(verts, faces)
+    bi = pallas_culled.build_block_index(
+        np.asarray(ta[:n]), np.asarray(tb[:n]), np.asarray(tc[:n])
+    )
+    sg = culling.build_sign_grid(ta, tb, tc, valid, res=24)
+    q = jnp.asarray(rng.uniform(-1.3, 1.3, (1500, 3)).astype(np.float32))
+    got = np.asarray(
+        culling.query_sdf_culled(
+            q, ta, tb, tc, valid, sign_method=SignMethod.RAYCAST,
+            sign_grid=sg, block_index=bi,
+        )
+    )
+    topo = Topology.triangle_list(faces.reshape(-1))
+    want = np.asarray(
+        m.generate_sdf(verts, topo, np.asarray(q), Strategy.XLA,
+                       sign_method=SignMethod.RAYCAST)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
