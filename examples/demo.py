@@ -49,11 +49,23 @@ def main():
         f"{(dist < 0).mean():.3f}"
     )
 
-    # Offline render (replaces the wgpu client).
-    from mesh_to_sdf_tpu.render import Camera, RaymarchMode, render, save_png
+    # Offline render (replaces the wgpu client). When a GLB with materials
+    # was given, project its base colors onto the SDF via the 6-face
+    # cubemap (the client's material mapping, `cubemap.rs:160-311`).
+    from mesh_to_sdf_tpu.render import (
+        Camera, RaymarchMode, generate_cubemap, render, save_png,
+    )
 
+    material = None
+    if len(sys.argv) > 1:
+        scene = gltf.load_scene(sys.argv[1], with_materials=True)
+        sv, sf = scene.merge()
+        material = generate_cubemap(sv, sf, scene.merge_colors())
+        print("cubemap material projected (6 × "
+              f"{material.resolution}² faces)")
     cam = Camera.orbit(grid, width=400, height=400)
-    img = render(dist, grid, cam, mode=RaymarchMode.TRILINEAR)
+    img = render(dist, grid, cam, mode=RaymarchMode.TRILINEAR,
+                 material=material)
     out = pathlib.Path("demo_render.png")
     save_png(out, np.asarray(img))
     print(f"wrote {out}")

@@ -10,12 +10,13 @@ from a scalar-prefetched table — each candidate block is DMA'd to VMEM
 once per TILE and shared by all its queries, instead of per-query gathers
 (the XLA formulation's bandwidth wall, see BENCH.md).
 
-Exactness: a triangle that can win for any query q in tile c satisfies
-``d(c, tri) ≤ min_d(c) + 2r ≤ ub + 2r`` where ``ub = min over blocks of
-|c - v0_block|`` is an achieved distance; its block's AABB lower bound is
-≤ that, so selecting every block with ``lb ≤ ub + 2r`` is conservative.
-Tiles with more such blocks than the table width report overflow and are
-recomputed densely by the caller.
+Exactness is certified POST-HOC per query: every triangle in an excluded
+block satisfies ``d(q, tri) ≥ d(c, tri) − |q − c| ≥ lb_excluded −
+|q − c|`` (``lb_excluded`` = the smallest box-distance lower bound among
+non-selected blocks), so a computed ``d_q`` at or below that certificate
+cannot be beaten; queries failing it are recomputed densely by the caller.
+Adaptively tight — it uses the achieved distances, unlike a-priori bounds
+(a v0-representative upper-bound variant was far too loose in practice).
 """
 from __future__ import annotations
 
@@ -48,14 +49,12 @@ class BlockIndex:
 
     planes: 9 × ((B+1)·TB,) f32 — Morton-ordered triangle planes
     (a, ab, ac components), one extra all-PAD block at index B;
-    lo/hi: (B, 3) block AABBs; rep: (B, 3) an arbitrary vertex per block
-    (achieved-distance upper bounds); n_blocks: B.
+    lo/hi: (B, 3) block AABBs; n_blocks: B.
     """
 
     planes: Tuple
     lo: object
     hi: object
-    rep: object
     n_blocks: int
 
 
@@ -100,7 +99,7 @@ def build_block_index(ta, tb, tc) -> BlockIndex:
         ta_p, ab_p, ac_p = ta, ab_r, ac_r
     B = len(ta_p) // TB
 
-    # Block AABBs / reps over REAL triangles only.
+    # Block AABBs over REAL triangles only.
     tri_lo = np.minimum(np.minimum(ta, tb), tc)
     tri_hi = np.maximum(np.maximum(ta, tb), tc)
     blk_of = np.arange(T) // TB
@@ -108,8 +107,6 @@ def build_block_index(ta, tb, tc) -> BlockIndex:
     hi_b = np.full((B, 3), -np.inf, np.float32)
     np.minimum.at(lo_b, blk_of, tri_lo)
     np.maximum.at(hi_b, blk_of, tri_hi)
-    rep = ta_p[::TB].copy()  # first vertex of each block (PAD for empty)
-
     planes = []
     for arr, padval in ((ta_p, PAD_COORD), (ab_p, 0.0), (ac_p, 0.0)):
         for k in range(3):
@@ -123,7 +120,6 @@ def build_block_index(ta, tb, tc) -> BlockIndex:
         planes=tuple(planes),
         lo=jnp.asarray(lo_b),
         hi=jnp.asarray(hi_b),
-        rep=jnp.asarray(rep),
         n_blocks=B,
     )
 
@@ -233,8 +229,8 @@ def culled_dist_pallas(queries_sorted, bi: BlockIndex, tbl, *,
 
 jax.tree_util.register_pytree_node(
     BlockIndex,
-    lambda b: ((b.planes, b.lo, b.hi, b.rep), (b.n_blocks,)),
+    lambda b: ((b.planes, b.lo, b.hi), (b.n_blocks,)),
     lambda aux, ch: BlockIndex(
-        planes=ch[0], lo=ch[1], hi=ch[2], rep=ch[3], n_blocks=aux[0]
+        planes=ch[0], lo=ch[1], hi=ch[2], n_blocks=aux[0]
     ),
 )

@@ -127,14 +127,22 @@ def generate_sdf(
     Returns a (Q,) float32 JAX array in the same order as ``query_points``.
     """
     strategy, sign = _resolve(acceleration, sign_method)
-    if strategy == Strategy.AUTO:
-        strategy = _auto_strategy()
     q = as_points(query_points)
     Q = q.shape[0]
     if Q == 0:
         return jnp.zeros((0,), jnp.float32)
 
     ta, tb, tc, valid, n_tris = prepare_triangles(vertices, topology, tri_block)
+
+    if strategy == Strategy.AUTO:
+        strategy = _auto_strategy()
+        if (strategy == Strategy.PALLAS and sign == SignMethod.RAYCAST
+                and Q >= SIGN_GRID_MIN_QUERIES and n_tris >= 32768):
+            # Large batches on big meshes: the culled engine (block kernel +
+            # sign-grid transfer) beats the O(Q·T) fused sweep — measured
+            # 2.4 s vs 3.9 s at 1M queries × 95k tris (BENCH.md); at small
+            # triangle counts the fused sweep's O(Q·T) is already cheap.
+            strategy = Strategy.CULLED
 
     if strategy == Strategy.PALLAS and n_tris > 0:
         from .ops.kernels import pallas_sdf
