@@ -141,10 +141,13 @@ def _sweep_kernel(
     od1_ref, ov1_ref, oi1_ref, od2_ref, ov2_ref, oi2_ref,
     # scratch carry
     sd1, sv1, si1, sd2, sv2, si2,
-    *, comp0: int, comp1: int, comp2: int, n0: int,
+    *, comp0: int, comp1: int, comp2: int, n0: int, chunk: int,
+    reverse: bool,
 ):
     """comp0/1/2: which world coordinate (0=x,1=y,2=z) varies along the
-    sweep axis / plane rows / plane cols."""
+    sweep axis / plane rows / plane cols. Each grid step processes ``chunk``
+    consecutive slices (amortizing per-step overhead); a reverse sweep
+    walks the slices within the block backwards."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -158,51 +161,57 @@ def _sweep_kernel(
 
     n1, n2 = d1_ref.shape[1:]
     rev = rev_ref[0]
-    # Grid index along the sweep axis for this step.
-    ga = jnp.where(rev != 0, n0 - 1 - i, i).astype(jnp.float32)
 
     firsts = (f0_ref[0], f1_ref[0], f2_ref[0])
     css = (cs0_ref[0], cs1_ref[0], cs2_ref[0])
-    coord_a = firsts[comp0] + ga * css[comp0]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0).astype(jnp.float32)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1).astype(jnp.float32)
     coord_r = firsts[comp1] + row_ids * css[comp1]
     coord_c = firsts[comp2] + col_ids * css[comp2]
-    comps = [None, None, None]
-    comps[comp0] = jnp.broadcast_to(coord_a, (n1, n2))
-    comps[comp1] = coord_r
-    comps[comp2] = coord_c
-    cx, cy, cz = comps
 
-    d1 = d1_ref[0]
-    v1 = v1_ref[0]
-    i1 = i1_ref[0]
-    d2 = d2_ref[0]
-    v2 = v2_ref[0]
-    i2 = i2_ref[0]
+    order = range(chunk - 1, -1, -1) if reverse else range(chunk)
+    for s in order:
+        # Grid index along the sweep axis for this slice.
+        ga = jnp.where(
+            rev != 0, n0 - 1 - (i * chunk + (chunk - 1 - s)),
+            i * chunk + s,
+        ).astype(jnp.float32)
+        coord_a = firsts[comp0] + ga * css[comp0]
+        comps = [None, None, None]
+        comps[comp0] = jnp.broadcast_to(coord_a, (n1, n2))
+        comps[comp1] = coord_r
+        comps[comp2] = coord_c
+        cx, cy, cz = comps
 
-    for dy in (0, 1, 2):
-        for dz in (0, 1, 2):
-            for (sd, sv, si) in ((sd1, sv1, si1), (sd2, sv2, si2)):
-                vcand = _shiftv(sv[:, :, :], dy, dz)
-                icand = _shift2(si[:, :], dy, dz, -1)
-                dcand = _pt_dist(cx, cy, cz, vcand)
-                d1, v1, i1, d2, v2, i2 = _merge2(
-                    d1, v1, i1, d2, v2, i2, dcand, vcand, icand
-                )
+        d1 = d1_ref[s]
+        v1 = v1_ref[s]
+        i1 = i1_ref[s]
+        d2 = d2_ref[s]
+        v2 = v2_ref[s]
+        i2 = i2_ref[s]
 
-    od1_ref[0] = d1
-    ov1_ref[0] = v1
-    oi1_ref[0] = i1
-    od2_ref[0] = d2
-    ov2_ref[0] = v2
-    oi2_ref[0] = i2
-    sd1[:, :] = d1
-    sv1[:, :, :] = v1
-    si1[:, :] = i1
-    sd2[:, :] = d2
-    sv2[:, :, :] = v2
-    si2[:, :] = i2
+        for dy in (0, 1, 2):
+            for dz in (0, 1, 2):
+                for (sd, sv, si) in ((sd1, sv1, si1), (sd2, sv2, si2)):
+                    vcand = _shiftv(sv[:, :, :], dy, dz)
+                    icand = _shift2(si[:, :], dy, dz, -1)
+                    dcand = _pt_dist(cx, cy, cz, vcand)
+                    d1, v1, i1, d2, v2, i2 = _merge2(
+                        d1, v1, i1, d2, v2, i2, dcand, vcand, icand
+                    )
+
+        od1_ref[s] = d1
+        ov1_ref[s] = v1
+        oi1_ref[s] = i1
+        od2_ref[s] = d2
+        ov2_ref[s] = v2
+        oi2_ref[s] = i2
+        sd1[:, :] = d1
+        sv1[:, :, :] = v1
+        si1[:, :] = i1
+        sd2[:, :] = d2
+        sv2[:, :, :] = v2
+        si2[:, :] = i2
 
 
 @functools.partial(
@@ -218,29 +227,39 @@ def sweep_oriented(
     comp0: int, comp1: int, comp2: int,
     interpret: bool = False,
 ):
-    """One directional sweep over volumes laid out sweep-axis-first."""
+    """One directional sweep over volumes laid out sweep-axis-first.
+
+    Each grid step handles ``chunk`` slices (TPU scans of single slices are
+    step-overhead-bound); the carry stays in VMEM scratch across steps.
+    """
     n0, n1, n2 = d1.shape
+    # chunk=2 measured perf-neutral at 256³ (0.80 s vs 0.79 s — the sweep is
+    # bandwidth-bound, not step-overhead-bound) while needing ~110 MB of
+    # scoped VMEM; keep the multi-slice machinery but default to 1.
+    chunk = 1
+    n_blocks = n0 // chunk
 
     rev = jnp.asarray(1 if reverse else 0, jnp.int32).reshape(1)
 
     if reverse:
         def idx(i):
-            return n0 - 1 - i
+            return n_blocks - 1 - i
     else:
         def idx(i):
             return i
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    b3 = pl.BlockSpec((1, n1, n2), lambda i: (idx(i), 0, 0),
+    b3 = pl.BlockSpec((chunk, n1, n2), lambda i: (idx(i), 0, 0),
                       memory_space=pltpu.VMEM)
-    b4 = pl.BlockSpec((1, 9, n1, n2), lambda i: (idx(i), 0, 0, 0),
+    b4 = pl.BlockSpec((chunk, 9, n1, n2), lambda i: (idx(i), 0, 0, 0),
                       memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(
-            _sweep_kernel, comp0=comp0, comp1=comp1, comp2=comp2, n0=n0
+            _sweep_kernel, comp0=comp0, comp1=comp1, comp2=comp2, n0=n0,
+            chunk=chunk, reverse=reverse,
         ),
-        grid=(n0,),
+        grid=(n_blocks,),
         in_specs=[smem] * 7 + [b3, b4, b3, b3, b4, b3],
         out_specs=[b3, b4, b3, b3, b4, b3],
         out_shape=[
@@ -260,7 +279,10 @@ def sweep_oriented(
             pltpu.VMEM((n1, n2), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            # chunk=2 at 256² slices needs ~110 MB of scoped VMEM (22
+            # double-buffered planes in+out + the carry scratch); v5e has
+            # 128 MB physical.
+            vmem_limit_bytes=120 * 1024 * 1024
         ),
         interpret=interpret,
     )(
