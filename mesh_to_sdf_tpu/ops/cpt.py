@@ -121,12 +121,16 @@ def _seed(grid: Grid, ta, tb, tc, span: int, runner_up: bool = True):
     ``runner_up=False`` skips the slot-2 scatters (the sweeps repopulate the
     runner-up from neighbors; quality measured in tests).
 
-    Coverage: the AABB±1 range can span up to ``span + 2`` cells per axis at
-    the subdivision bound (max_edge = (span-1.5)·cs), so TWO span-sized
-    windows are rasterized per triangle — one anchored at the low corner,
-    one ending at the high corner. Their union covers ranges up to 2·span
-    cells, i.e. the full AABB±1 (closing the round-1 gap where the top 1-2
-    cells of a window got no direct seed)."""
+    Coverage (PER-AXIS only): the AABB±1 range can span up to ``span + 2``
+    cells per axis at the subdivision bound (max_edge = (span-1.5)·cs), so
+    TWO span-sized windows are rasterized per triangle — one anchored at the
+    low corner, one ending at the high corner. Their union covers each AXIS
+    range up to 2·span cells, but NOT the full 3-D product: a cell mixing
+    the low window on one axis with the high window on another (≥2 axes
+    exceeding ``span`` cells) gets no direct seed and relies on the sweeps
+    to repair its distance. Callers needing the exact preheap-coverage
+    guarantee must use :func:`build_seed_bins` / :func:`seed_from_bins`
+    (this fallback remains for in-jit differentiable seeding)."""
     nx, ny, nz = grid.cell_count
     N = nx * ny * nz
     T = ta.shape[0]
@@ -250,14 +254,22 @@ def build_seed_bins(grid: Grid, ha, hb, hc, *, k: int = 8) -> SeedBins:
         rows_cell = np.full((8,), N, np.int32)
         return SeedBins(entry, rows_cell, np.full((N,), -1, np.int32), 0)
 
-    if N < 2**31 - 1:
-        from .. import native
+    if N >= 2**31 - 1:
+        # The numpy fallback below computes flat cell indices in int32 and
+        # the SeedBins dtypes cannot represent N — corrupt bins, not an
+        # error. Grids this large must go through the streamed/sharded
+        # pipelines (per-slab bins keep N small).
+        raise ValueError(
+            f"build_seed_bins: grid has {N} cells (≥ 2^31-1); "
+            "use the streamed or sharded grid pipeline"
+        )
+    from .. import native
 
-        if native.available():  # C++ fast path (same layout contract)
-            entry, rows_cell, cell_row, n_rounds = native.seed_bins(
-                lo_cell, hi_cell, np.asarray(grid.cell_count, np.uint32), k
-            )
-            return SeedBins(entry, rows_cell, cell_row, n_rounds)
+    if native.available():  # C++ fast path (same layout contract)
+        entry, rows_cell, cell_row, n_rounds = native.seed_bins(
+            lo_cell, hi_cell, np.asarray(grid.cell_count, np.uint32), k
+        )
+        return SeedBins(entry, rows_cell, cell_row, n_rounds)
 
     # Expand windows grouped by (wx, wy, wz): triangles sharing a window
     # shape rasterize with one broadcast add — no per-entry divisions (the

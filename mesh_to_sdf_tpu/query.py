@@ -72,7 +72,15 @@ def _sign_grid_cached(ta, tb, tc, valid, n_tris: int):
 
     from .ops import culling
 
-    key = (zlib.adler32(np.asarray(ta[:n_tris]).tobytes()), int(n_tris))
+    # Key over the FULL soup (a, b, c): meshes that differ only in second/
+    # third-corner vertices must not collide (deformation workflows re-call
+    # generate_sdf with corner-0 fixed).
+    key = (
+        zlib.adler32(np.asarray(ta[:n_tris]).tobytes()),
+        zlib.adler32(np.asarray(tb[:n_tris]).tobytes()),
+        zlib.adler32(np.asarray(tc[:n_tris]).tobytes()),
+        int(n_tris),
+    )
     sg = _SIGN_GRID_CACHE.get(key)
     if sg is None:
         sg = culling.build_sign_grid(ta, tb, tc, valid)
@@ -93,7 +101,13 @@ def _block_index_cached(ta, tb, tc, n_tris: int):
 
     from .ops.kernels import pallas_culled
 
-    key = (zlib.adler32(np.asarray(ta[:n_tris]).tobytes()), int(n_tris), "bi")
+    key = (
+        zlib.adler32(np.asarray(ta[:n_tris]).tobytes()),
+        zlib.adler32(np.asarray(tb[:n_tris]).tobytes()),
+        zlib.adler32(np.asarray(tc[:n_tris]).tobytes()),
+        int(n_tris),
+        "bi",
+    )
     bi = _BLOCK_INDEX_CACHE.get(key)
     if bi is None:
         bi = pallas_culled.build_block_index(

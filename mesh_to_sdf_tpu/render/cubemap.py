@@ -89,7 +89,8 @@ def _axis_faces(center, half, ta, tb, tc, ca, cb, cc, *, axis: int, res: int,
     n_blocks = blocks[0].shape[0]
 
     chunk = min(TEXEL_CHUNK, Q)
-    o_chunks = origins.reshape(-1, chunk, 3)
+    qpad = (-Q) % chunk  # res² need not divide the chunk (e.g. res=100)
+    o_chunks = jnp.pad(origins, ((0, qpad), (0, 0))).reshape(-1, chunk, 3)
 
     def chunk_body(o):
         def scan_body(carry, inp):
@@ -125,10 +126,10 @@ def _axis_faces(center, half, ta, tb, tc, ca, cb, cc, *, axis: int, res: int,
         return tmin, imin, tmax, imax
 
     tmin, imin, tmax, imax = jax.lax.map(chunk_body, o_chunks)
-    tmin = tmin.reshape(-1)
-    imin = imin.reshape(-1)
-    tmax = tmax.reshape(-1)
-    imax = imax.reshape(-1)
+    tmin = tmin.reshape(-1)[:Q]
+    imin = imin.reshape(-1)[:Q]
+    tmax = tmax.reshape(-1)[:Q]
+    imax = imax.reshape(-1)[:Q]
 
     ta_p = jnp.pad(ta, ((0, pad), (0, 0)), constant_values=1e18)
     tb_p = jnp.pad(tb, ((0, pad), (0, 0)), constant_values=1e18)

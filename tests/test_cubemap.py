@@ -215,3 +215,12 @@ def test_render_with_material(colored_box):
         assert mean[0] > mean[2] + 0.1, mean
     else:
         assert mean[2] > mean[0] + 0.1, mean
+
+
+def test_cubemap_odd_resolution(colored_box):
+    """res² not a multiple of TEXEL_CHUNK (e.g. res=100) must not raise —
+    the texel chunking pads and slices back (ADVICE r2)."""
+    v, f, colors = colored_box
+    cm = generate_cubemap(v, f, colors, res=100)
+    assert cm.albedo.shape == (6, 100, 100, 3)
+    assert np.asarray(cm.albedo[1]).mean(axis=(0, 1))[0] > 0.7
