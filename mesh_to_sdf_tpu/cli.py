@@ -112,7 +112,13 @@ def cmd_render(args) -> int:
     from .io import serde
     from .render import Camera, RaymarchMode, render, save_png
 
+    view = getattr(args, "view", "sdf")
     material = None
+    if view != "sdf" and not args.input.endswith((".glb", ".gltf")):
+        raise SystemExit(
+            f"error: --view {view} renders the source mesh and needs a "
+            ".glb/.gltf input, not a baked SDF"
+        )
     if args.input.endswith((".glb", ".gltf")):
         if args.material:
             from .io import gltf as gltf_mod
@@ -159,10 +165,24 @@ def cmd_render(args) -> int:
         width=args.width,
         height=args.height,
     )
-    img = render(
-        dist, grid, cam, iso=args.iso, mode=RaymarchMode(args.mode),
-        shadows=not args.no_shadows, material=material,
-    )
+    if view == "model":
+        # ≙ RenderMode::Model (`model_render_pass.rs:22-84`).
+        from .render import render_model
+
+        img = render_model(verts, faces, cam, shadows=not args.no_shadows)
+    elif view == "model+sdf":
+        # ≙ RenderMode::ModelAndSdf (`sdf_program.rs:38-45`).
+        from .render import render_model_and_sdf
+
+        img = render_model_and_sdf(
+            verts, faces, dist, grid, cam, iso=args.iso,
+            mode=RaymarchMode(args.mode), shadows=not args.no_shadows,
+        )
+    else:
+        img = render(
+            dist, grid, cam, iso=args.iso, mode=RaymarchMode(args.mode),
+            shadows=not args.no_shadows, material=material,
+        )
     save_png(args.output, np.asarray(img))
     print(f"wrote {args.output}", file=sys.stderr)
     return 0
@@ -336,6 +356,12 @@ def main(argv=None) -> int:
         "--material", action="store_true",
         help="project the mesh's glTF base-color materials onto the SDF via "
              "a 6-face cubemap (mesh inputs only)",
+    )
+    r.add_argument(
+        "--view", choices=["sdf", "model", "model+sdf"], default="sdf",
+        help="what to draw (RenderMode, `sdf_program.rs:38-45`): the "
+             "raymarched SDF, the source mesh (Blinn-Phong + shadows), or "
+             "both composited by depth (mesh inputs only for model views)",
     )
     r.set_defaults(fn=cmd_render)
 

@@ -35,11 +35,135 @@ from .ops import brute, raycast
 from .ops import raycast as raycast_mod
 from .query import prepare_triangles, _resolve
 
-#: AUTO-strategy cost model (TPU v5e measurements, BENCH.md): dense-engine
-#: pair throughput, CPT fixed overhead, CPT cell throughput.
+#: AUTO-strategy cost model: dense-engine pair throughput, CPT fixed
+#: overhead, CPT cell throughput. Per-backend defaults (TPU numbers are v5e
+#: measurements, BENCH.md; CPU numbers are coarse single-core XLA scale);
+#: overridable by env (M2S_AUTO_DENSE_PAIRS_PER_S / M2S_AUTO_CPT_OVERHEAD_S
+#: / M2S_AUTO_CPT_CELLS_PER_S) or by a cached one-shot on-device
+#: calibration (:func:`calibrate_auto`, opt-in via M2S_AUTO_CALIBRATE=1) —
+#: so the crossover survives TPU generations other than v5e.
+_AUTO_DEFAULTS = {
+    "tpu": (5.0e10, 0.15, 2.0e8),
+    "cpu": (2.0e8, 0.05, 5.0e6),
+}
+#: Backward-compat module constants (v5e) — prefer :func:`_auto_constants`.
 AUTO_DENSE_PAIRS_PER_S = 5.0e10
 AUTO_CPT_OVERHEAD_S = 0.15
 AUTO_CPT_CELLS_PER_S = 2.0e8
+
+_AUTO_CAL_CACHE: dict = {}
+
+
+def _auto_cal_path():
+    import os
+
+    root = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+    return os.path.join(root, "mesh_to_sdf_tpu", "auto_cal.json")
+
+
+def _device_key() -> str:
+    try:
+        d = jax.devices()[0]
+        return f"{jax.default_backend()}:{getattr(d, 'device_kind', '?')}"
+    except Exception:
+        return jax.default_backend()
+
+
+def calibrate_auto(force: bool = False):
+    """One-shot on-device measurement of the AUTO cost-model constants.
+
+    Times the dense engine (pairs/s) on a 48³×2048 synthetic workload and
+    the CPT engine at two grid sizes (48³, 96³) to split fixed overhead from
+    per-cell throughput. Results persist to ``~/.cache/mesh_to_sdf_tpu/``
+    keyed by backend+device kind, so the cost is paid once per machine.
+    Returns (dense_pairs_per_s, cpt_overhead_s, cpt_cells_per_s).
+    """
+    import json
+    import os
+    import time
+
+    from .utils.meshgen import icosphere
+
+    key = _device_key()
+    path = _auto_cal_path()
+    if not force:
+        if key in _AUTO_CAL_CACHE:
+            return _AUTO_CAL_CACHE[key]
+        try:
+            with open(path) as f:
+                disk = json.load(f)
+            if key in disk:
+                _AUTO_CAL_CACHE[key] = tuple(disk[key])
+                return _AUTO_CAL_CACHE[key]
+        except (OSError, ValueError):
+            pass
+
+    v, f = icosphere(4)  # 5120 tris
+    topo = Topology.triangle_list(f.reshape(-1))
+    n_t = len(f)
+    lo, hi = v.min(axis=0) - 0.3, v.max(axis=0) + 0.3
+    dense_strategy = (
+        Strategy.PALLAS if jax.default_backend() == "tpu" else Strategy.XLA
+    )
+
+    def timed(strategy, cells):
+        g = Grid.from_bounding_box(lo, hi, [cells] * 3)
+        def run():
+            d = generate_grid_sdf(v, topo, g, SignMethod.RAYCAST,
+                                  strategy=strategy)
+            jax.block_until_ready(d)
+        run()  # compile
+        t0 = time.perf_counter()
+        run()
+        return time.perf_counter() - t0
+
+    t_dense = timed(dense_strategy, 48)
+    dense_pairs = 48**3 * n_t / max(t_dense, 1e-4)
+    t_cpt_a = timed(Strategy.CPT, 48)
+    t_cpt_b = timed(Strategy.CPT, 96)
+    cells_a, cells_b = 48**3, 96**3
+    slope = max((t_cpt_b - t_cpt_a) / (cells_b - cells_a), 1e-12)
+    cpt_cells = 1.0 / slope
+    cpt_overhead = max(t_cpt_a - cells_a * slope, 0.0)
+
+    out = (float(dense_pairs), float(cpt_overhead), float(cpt_cells))
+    _AUTO_CAL_CACHE[key] = out
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        disk = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                disk = json.load(fh)
+        disk[key] = list(out)
+        with open(path, "w") as fh:
+            json.dump(disk, fh)
+    except OSError:
+        pass
+    return out
+
+
+def _auto_constants():
+    """(dense_pairs_per_s, cpt_overhead_s, cpt_cells_per_s) for this
+    backend: env override > cached calibration > per-backend defaults."""
+    import os
+
+    backend = jax.default_backend()
+    base = _AUTO_DEFAULTS.get(backend, _AUTO_DEFAULTS["cpu"])
+    if os.environ.get("M2S_AUTO_CALIBRATE") == "1":
+        try:
+            base = calibrate_auto()
+        except Exception:
+            pass
+    else:
+        cached = _AUTO_CAL_CACHE.get(_device_key())
+        if cached is not None:
+            base = cached
+    env = os.environ
+    return (
+        float(env.get("M2S_AUTO_DENSE_PAIRS_PER_S", base[0])),
+        float(env.get("M2S_AUTO_CPT_OVERHEAD_S", base[1])),
+        float(env.get("M2S_AUTO_CPT_CELLS_PER_S", base[2])),
+    )
 
 #: Content-hashed cache of CPT host prep (subdivision + seed bins): repeated
 #: calls on the same mesh/grid skip the host rasterization (~0.2-0.35 s at
@@ -98,11 +222,12 @@ def _cpt_prep(grid: Grid, ha, hb, hc):
 @functools.partial(
     jax.jit,
     static_argnames=("raycast", "on_tpu", "flat", "raycast_axes",
-                     "seed_rounds"),
+                     "seed_rounds", "sweep_rounds"),
 )
 def _cpt_grid_signed(grid, tris, tris_orig, seed_entry, seed_rows,
                      seed_cellrow, raycast: bool, on_tpu: bool, flat: bool,
-                     raycast_axes: int = 3, seed_rounds: int = 0):
+                     raycast_axes: int = 3, seed_rounds: int = 0,
+                     sweep_rounds: int = 1):
     """Fused CPT distance + sign for one grid (single dispatch).
 
     tris: (3, T, 3) stacked triangles (subdivided only to bound the seed
@@ -125,10 +250,12 @@ def _cpt_grid_signed(grid, tris, tris_orig, seed_entry, seed_rows,
     )
     if on_tpu:
         dist3, idx3 = cpt_mod.closest_point_grid_pallas(
-            grid, ra, rb, rc, seed=seed
+            grid, ra, rb, rc, seed=seed, rounds=sweep_rounds
         )
     else:
-        dist3, idx3 = cpt_mod.closest_point_grid(grid, ra, rb, rc, seed=seed)
+        dist3, idx3 = cpt_mod.closest_point_grid(
+            grid, ra, rb, rc, seed=seed, rounds=sweep_rounds
+        )
     ovf = jnp.zeros((), jnp.int32)
     if not raycast:
         # Normal sign from the nearest triangle — the reference Rtree
@@ -226,8 +353,9 @@ def generate_grid_sdf(
         # overridable for other platforms.
         n_cells = grid.total_cell_count
         n_t = _count_triangles(vertices, topology)
-        dense_cost = n_cells * max(n_t, 1) / AUTO_DENSE_PAIRS_PER_S
-        cpt_cost = AUTO_CPT_OVERHEAD_S + n_cells / AUTO_CPT_CELLS_PER_S
+        dense_pairs, cpt_overhead, cpt_cells = _auto_constants()
+        dense_cost = n_cells * max(n_t, 1) / dense_pairs
+        cpt_cost = cpt_overhead + n_cells / cpt_cells
         strategy = Strategy.CPT if cpt_cost < dense_cost else _auto_strategy()
 
 
@@ -257,6 +385,12 @@ def generate_grid_sdf(
                 flat=flat,
                 raycast_axes=raycast_axes,
                 seed_rounds=bins.n_shift_rounds,
+                # Coarse grids stress far-field propagation (thin features
+                # vs cell size — 2.6% observed on knight@24³, breaching the
+                # ≤2% contract); a second sweep round costs O(cells), which
+                # is negligible exactly where it is needed. Fine grids keep
+                # one round (the sweep phase dominates 256³ wall time).
+                sweep_rounds=2 if max(grid.cell_count) <= 128 else 1,
             )
             if sign == SignMethod.RAYCAST and int(ovf) > 0:
                 # Pallas parity dropped crossings (> K_DISTINCT distinct hit

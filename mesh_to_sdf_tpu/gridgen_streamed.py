@@ -76,31 +76,59 @@ def _merge_edge(state, edge, position, centers_row):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cell_count",))
-def _slab_pass(first_cell, cell_size, cell_count, tris, left_edge, right_edge):
+@functools.partial(
+    jax.jit, static_argnames=("cell_count", "seed_rounds", "use_pallas")
+)
+def _slab_pass(first_cell, cell_size, cell_count, tris, left_edge, right_edge,
+               seed_entry, seed_rows, seed_cellrow, seed_rounds: int,
+               use_pallas: bool):
     """CPT on one slab with optional incoming boundary states (pass INF edges
-    for "none"). Returns (state slab, right edge, left edge)."""
+    for "none"). Seeds come from host-binned gather lists (exact AABB±1
+    coverage, ≙ gridgen._cpt_grid_signed); the Pallas VMEM-carry sweep
+    kernel runs on TPU. Returns (state slab, right edge, left edge)."""
     slab = Grid(first_cell=first_cell, cell_size=cell_size,
                 cell_count=cell_count)
     ta, tb, tc = tris[0], tris[1], tris[2]
-    dist, idx = cpt_mod.closest_point_grid(slab, ta, tb, tc)
+    seed = cpt_mod.seed_from_bins(
+        slab, ta, tb, tc,
+        cpt_mod.SeedBins(seed_entry, seed_rows, seed_cellrow, seed_rounds),
+    )
+    if use_pallas:
+        dist, idx = cpt_mod.closest_point_grid_pallas(
+            slab, ta, tb, tc, seed=seed
+        )
+    else:
+        dist, idx = cpt_mod.closest_point_grid(slab, ta, tb, tc, seed=seed)
     state = _state_from(dist, idx, ta, tb, tc)
     centers = slab.all_cell_centers()
     state = _merge_edge(state, left_edge, 0, centers[0])
     state = _merge_edge(state, right_edge, -1, centers[-1])
-    state = _x_sweeps(state, centers)
+    if use_pallas:
+        from .parallel.grid_sharded import _x_sweeps_pallas
+
+        state = _x_sweeps_pallas(state, slab)
+    else:
+        state = _x_sweeps(state, centers)
     lo = cpt_mod.CptState(*[getattr(state, n)[0] for n in state._fields])
     hi = cpt_mod.CptState(*[getattr(state, n)[-1] for n in state._fields])
     return state, hi, lo
 
 
-@functools.partial(jax.jit, static_argnames=("cell_count",))
-def _slab_sign_raycast(first_cell, cell_size, cell_count, dist, orig):
+@functools.partial(jax.jit, static_argnames=("cell_count", "use_pallas"))
+def _slab_sign_raycast(first_cell, cell_size, cell_count, dist, orig,
+                       use_pallas: bool = False):
     """Sign one slab. All three parities are slab-local: rays cast from this
     slab's faces see the whole (replicated) mesh, so per-cell suffix counts
     are complete without any cross-slab bookkeeping."""
     slab = Grid(first_cell=first_cell, cell_size=cell_size,
                 cell_count=cell_count)
+    if use_pallas:
+        from .ops.kernels import pallas_parity
+
+        inside, ovf = pallas_parity.grid_inside_mask_pallas(
+            slab, orig[0], orig[1], orig[2]
+        )
+        return jnp.where(inside, -dist, dist), ovf
     oa, ob, oc = orig[0], orig[1], orig[2]
     valid = jnp.ones((oa.shape[0],), bool)
     oa_p, ob_p, oc_p, valid_p, blk = pad_tri_blocks(oa, ob, oc, valid, 256)
@@ -126,7 +154,7 @@ def _slab_sign_raycast(first_cell, cell_size, cell_count, dist, orig):
     votes = (
         odd_x.astype(jnp.int32) + odd_y.astype(jnp.int32) + odd_z.astype(jnp.int32)
     )
-    return jnp.where(votes >= 2, -dist, dist)
+    return jnp.where(votes >= 2, -dist, dist), jnp.zeros((), jnp.int32)
 
 
 def generate_grid_sdf_streamed(
@@ -153,13 +181,25 @@ def generate_grid_sdf_streamed(
     v_np = np.asarray(vertices, np.float32)
     f_np = np.asarray(faces, np.int64)
     cs = float(np.max(np.abs(np.asarray(grid.cell_size))))
-    ra, rb, rc = cpt_mod.subdivide_to_span(
-        v_np, f_np, max_edge=(cpt_mod.SEED_SPAN - 1.5) * cs
-    )
+    # Binned seeds have exact AABB±1 coverage for any triangle size; the
+    # loose 8-cell cap only bounds the rasterized seed volume.
+    ra, rb, rc = cpt_mod.subdivide_to_span(v_np, f_np, max_edge=8.0 * cs)
     tris = jnp.asarray(np.stack([ra, rb, rc]))
     orig = jnp.asarray(
         np.stack([v_np[f_np[:, 0]], v_np[f_np[:, 1]], v_np[f_np[:, 2]]])
     )
+    use_pallas = jax.default_backend() == "tpu"
+    # Per-slab host-binned seeds, padded to common shapes so ONE compiled
+    # program serves every slab; uploaded one slab at a time (the whole
+    # point of streaming is bounding device memory).
+    slab_bins = cpt_mod.build_slab_seed_bins(grid, n_slabs, ra, rb, rc)
+
+    def slab_seed(i):
+        return (
+            jnp.asarray(slab_bins.entry_tri[i]),
+            jnp.asarray(slab_bins.rows_cell[i]),
+            jnp.asarray(slab_bins.cell_row[i]),
+        )
 
     def slab_first(i):
         return grid.first_cell + jnp.asarray(
@@ -174,7 +214,8 @@ def generate_grid_sdf_streamed(
     carry = empty
     for i in range(n_slabs):
         _, hi, _lo = _slab_pass(
-            slab_first(i), grid.cell_size, cell_count, tris, carry, empty
+            slab_first(i), grid.cell_size, cell_count, tris, carry, empty,
+            *slab_seed(i), slab_bins.n_shift_rounds, use_pallas,
         )
         right_edges.append(jax.tree.map(np.asarray, hi))
         carry = hi
@@ -190,14 +231,22 @@ def generate_grid_sdf_streamed(
             if i > 0 else empty
         )
         state, _hi, lo = _slab_pass(
-            slab_first(i), grid.cell_size, cell_count, tris, left, carry
+            slab_first(i), grid.cell_size, cell_count, tris, left, carry,
+            *slab_seed(i), slab_bins.n_shift_rounds, use_pallas,
         )
         carry = lo
 
         if sign_method == SignMethod.RAYCAST:
-            signed = _slab_sign_raycast(
-                slab_first(i), grid.cell_size, cell_count, state.d1, orig
+            signed, ovf = _slab_sign_raycast(
+                slab_first(i), grid.cell_size, cell_count, state.d1, orig,
+                use_pallas,
             )
+            if use_pallas and int(ovf) > 0:
+                # Parity kernel dropped crossings — exact XLA re-sign.
+                signed, _ = _slab_sign_raycast(
+                    slab_first(i), grid.cell_size, cell_count,
+                    jnp.abs(state.d1), orig, False,
+                )
         else:
             signed = cpt_mod.normal_sign_from_idx(
                 Grid(first_cell=slab_first(i), cell_size=grid.cell_size,

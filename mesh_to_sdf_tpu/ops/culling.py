@@ -171,28 +171,29 @@ def _ceil_pow2(n: int) -> int:
     return k
 
 
-@functools.partial(jax.jit, static_argnames=("qt", "nb", "interpret"))
-def _culled_blocks_impl(queries, bi, *, qt, nb, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("qt", "st", "nb_sub", "interpret")
+)
+def _culled_blocks_impl(queries, bi, *, qt, st, nb_sub, interpret):
     from .kernels import pallas_culled
 
     Q = queries.shape[0]
     order = _morton_order(queries)
     q_sorted = queries[order]
     pad = (-Q) % qt
-    q_pad = jnp.pad(q_sorted, ((0, pad), (0, 0)))
-    q_tiles = q_pad.reshape(-1, qt, 3)
-    tbl, lb_excl, radius = pallas_culled.select_blocks(
-        q_tiles, bi, nb=nb, qt=qt
+    # Edge-pad (repeat the last query): zero-padding would blow up the last
+    # sub-tile's extent and wreck its certificate.
+    q_pad = jnp.pad(q_sorted, ((0, pad), (0, 0)), mode="edge")
+    tbl, lb_excl, centers = pallas_culled.select_blocks(
+        q_pad, bi, nb_sub=nb_sub, st=st, qt=qt
     )
     dist = pallas_culled.culled_dist_pallas(
-        q_pad, bi, tbl, nb=nb, qt=qt, interpret=interpret
+        q_pad, bi, tbl, qt=qt, interpret=interpret
     )[:Q]
-    # Post-hoc PER-QUERY certificate: a triangle in an excluded block is ≥
-    # lb_excluded - |q - tile_center| from q (sharper than the tile-radius
-    # form for queries near their tile center).
-    centers = (jnp.max(q_tiles, axis=1) + jnp.min(q_tiles, axis=1)) * 0.5
-    c_q = jnp.repeat(centers, qt, axis=0)[:Q]
-    cert = jnp.repeat(lb_excl, qt)[:Q] - jnp.linalg.norm(
+    # Post-hoc PER-QUERY certificate against the SUB-TILE's excluded bound:
+    # a triangle in an excluded block is ≥ lb_excl(s) − |q − c_s| from q.
+    c_q = jnp.repeat(centers, st, axis=0)[:Q]
+    cert = jnp.repeat(lb_excl, st)[:Q] - jnp.linalg.norm(
         q_sorted[:Q] - c_q, axis=-1
     )
     q_overflow = dist > cert * (1.0 - 1e-6)
@@ -200,16 +201,18 @@ def _culled_blocks_impl(queries, bi, *, qt, nb, interpret):
     return dist[inv], q_overflow[inv]
 
 
-def query_dist_culled_blocks(queries, block_index, *, qt=None, nb=None,
-                             interpret: bool = False):
+def query_dist_culled_blocks(queries, block_index, *, qt=None, st=None,
+                             nb_sub=None, interpret: bool = False):
     """Unsigned min distances via the scalar-prefetch block kernel
     (ops/kernels/pallas_culled.py). Returns (dist, q_overflow|None)."""
     from .kernels import pallas_culled
 
     qt = qt or pallas_culled.DEFAULT_QT
-    nb = nb or pallas_culled.DEFAULT_NB
+    st = st or pallas_culled.DEFAULT_ST
+    nb_sub = nb_sub or pallas_culled.DEFAULT_NB_SUB
     dist, q_overflow = _culled_blocks_impl(
-        queries, block_index, qt=qt, nb=nb, interpret=interpret
+        queries, block_index, qt=qt, st=st, nb_sub=nb_sub,
+        interpret=interpret,
     )
     if bool(jnp.any(q_overflow)):
         return dist, q_overflow

@@ -126,32 +126,45 @@ def generate_grid_sdf_sharded_cpt(
     v_np = np.asarray(vertices, np.float32)
     f_np = np.asarray(faces, np.int64)
     cs = float(np.max(np.abs(np.asarray(grid.cell_size))))
-    ra, rb, rc = cpt_mod.subdivide_to_span(
-        v_np, f_np, max_edge=(cpt_mod.SEED_SPAN - 1.5) * cs
-    )
+    # Binned seeds carry exact AABB±1 coverage regardless of triangle size,
+    # so the loose 8-cell subdivision cap suffices (≙ gridgen._cpt_prep;
+    # the tight SEED_SPAN window bound was a round-1 scatter-seed artifact).
+    ra, rb, rc = cpt_mod.subdivide_to_span(v_np, f_np, max_edge=8.0 * cs)
     tris = jnp.asarray(np.stack([ra, rb, rc]))  # (3, T, 3) replicated
     orig = jnp.asarray(
         np.stack([v_np[f_np[:, 0]], v_np[f_np[:, 1]], v_np[f_np[:, 2]]])
     )
+    # Per-slab host-binned seeds (exact preheap coverage, no scatter),
+    # sharded so each device receives only its slab's gather lists.
+    slab_bins = cpt_mod.build_slab_seed_bins(grid, n_dev, ra, rb, rc)
+    seed_rounds = slab_bins.n_shift_rounds
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P()),
+        in_specs=(P(), P(), P(CELL_AXIS), P(CELL_AXIS), P(CELL_AXIS)),
         out_specs=P(CELL_AXIS),
         check_vma=False,
     )
-    def run(tris, orig):
+    def run(tris, orig, seed_entry, seed_rows, seed_cellrow):
         idx = jax.lax.axis_index(CELL_AXIS)
         slab = _slab_grid(grid, n_dev, idx)
         ta, tb, tc = tris[0], tris[1], tris[2]
 
+        seed = cpt_mod.seed_from_bins(
+            slab, ta, tb, tc,
+            cpt_mod.SeedBins(
+                seed_entry[0], seed_rows[0], seed_cellrow[0], seed_rounds
+            ),
+        )
         if use_pallas:
             dist, tri_idx = cpt_mod.closest_point_grid_pallas(
-                slab, ta, tb, tc
+                slab, ta, tb, tc, seed=seed
             )
         else:
-            dist, tri_idx = cpt_mod.closest_point_grid(slab, ta, tb, tc)
+            dist, tri_idx = cpt_mod.closest_point_grid(
+                slab, ta, tb, tc, seed=seed
+            )
 
         # Rebuild the full CPT state for halo exchange: re-seed + re-derive
         # vertex volumes from the final indices (cheaper than carrying state
@@ -259,4 +272,8 @@ def generate_grid_sdf_sharded_cpt(
 
     t = jax.device_put(tris, NamedSharding(mesh, P()))
     o = jax.device_put(orig, NamedSharding(mesh, P()))
-    return jax.jit(run)(t, o)
+    slab_shard = NamedSharding(mesh, P(CELL_AXIS))
+    se = jax.device_put(jnp.asarray(slab_bins.entry_tri), slab_shard)
+    sr = jax.device_put(jnp.asarray(slab_bins.rows_cell), slab_shard)
+    sc = jax.device_put(jnp.asarray(slab_bins.cell_row), slab_shard)
+    return jax.jit(run)(t, o, se, sr, sc)

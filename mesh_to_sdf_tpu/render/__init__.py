@@ -11,8 +11,10 @@ from .isosurface import ordered_indices, iso_limits, voxel_band, surface_cells, 
 from .image import save_png, to_uint8
 from .splat import colorize_distances, render_points, render_sdf_points
 from .cubemap import Cubemap, generate_cubemap, sample_cubemap
+from .model import render_model, render_model_and_sdf, trace_mesh
 
 __all__ = [
+    "render_model", "render_model_and_sdf", "trace_mesh",
     "RaymarchMode", "sample", "sample_snap", "sample_trilinear",
     "sample_tetrahedral", "Camera", "render", "trace", "estimate_normal",
     "ordered_indices", "iso_limits", "voxel_band", "surface_cells",

@@ -43,8 +43,11 @@ def test_sharded_vs_exact_brute_contract(setup):
     )
     got = np.asarray(generate_grid_sdf_sharded_cpt(v, f, g, m, SignMethod.RAYCAST))
     assert (np.sign(got) == np.sign(brute)).all()
+    # Never undershoots (absolute epsilon: near-surface cells have |d|~0, so
+    # pure-relative undershoot checks amplify float noise on the subdivided
+    # soup into percent-scale artifacts).
+    assert np.all(np.abs(got) >= np.abs(brute) - 1e-5)
     rel = (np.abs(got) - np.abs(brute)) / np.maximum(np.abs(brute), 1e-6)
-    assert rel.min() > -1e-3
     assert rel.max() < 2e-2
 
 

@@ -174,8 +174,27 @@ def test_auto_cost_model_crossover(monkeypatch):
     gg.generate_grid_sdf(v, topo, small, SignMethod.RAYCAST)
     assert "strategy" not in chosen, "small grid must use the dense engine"
 
-    # Force the crossover the other way by making dense look expensive.
-    monkeypatch.setattr(gg, "AUTO_DENSE_PAIRS_PER_S", 1.0)
+    # Force the crossover the other way by making dense look expensive
+    # (env override — the supported retuning knob for other platforms).
+    monkeypatch.setenv("M2S_AUTO_DENSE_PAIRS_PER_S", "1.0")
     chosen.clear()
     gg.generate_grid_sdf(v, topo, small, SignMethod.RAYCAST)
     assert chosen.get("strategy") == Strategy.CPT
+
+
+def test_auto_calibration(monkeypatch, tmp_path):
+    """calibrate_auto measures sane constants, persists them, and AUTO
+    consumes the cached calibration (round-2 verdict weak #7)."""
+    import mesh_to_sdf_tpu.gridgen as gg
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    gg._AUTO_CAL_CACHE.clear()
+    dense_pairs, cpt_overhead, cpt_cells = gg.calibrate_auto(force=True)
+    assert dense_pairs > 0 and cpt_cells > 0 and cpt_overhead >= 0
+    # Cached on disk: a fresh in-process cache still finds it.
+    gg._AUTO_CAL_CACHE.clear()
+    again = gg.calibrate_auto()
+    assert again == (dense_pairs, cpt_overhead, cpt_cells)
+    # AUTO consumes it when opted in.
+    monkeypatch.setenv("M2S_AUTO_CALIBRATE", "1")
+    assert gg._auto_constants() == again

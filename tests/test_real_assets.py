@@ -143,15 +143,27 @@ def test_suzanne_grid_strategies_agree():
     assert sign_mismatch <= 0.005, f"{sign_mismatch:.3%}"
 
 
-def test_knight_grid_cpt_vs_dense(rng):
-    """CPT grid on knight vs the exact dense engine (itself oracle-validated
-    on suzanne above), full 24^3 grid."""
-    verts, faces = load("knight")
+@pytest.mark.parametrize(
+    "asset,res",
+    [
+        ("suzanne", 16), ("suzanne", 24), ("suzanne", 32),
+        ("knight", 16), ("knight", 24), ("knight", 32),
+        ("ferris3d", 24), ("annoted_cube", 16), ("FlightHelmet", 16),
+    ],
+)
+def test_cpt_contract_on_real_assets(asset, res):
+    """The CPT far-field contract — never undershoots, ≤2% relative beyond
+    the exact band — asserted on ALL FIVE reference assets across the
+    resolutions that stress it (thin features vs coarse cells). The r2
+    worst case was 2.6% on knight@24³ (contract breach); a second sweep
+    round at coarse resolutions restores ≤2%. Reference bar: exact
+    equality on its meshes (`generate/grid.rs:692-724`)."""
+    verts, faces = load(asset)
     topo = Topology.triangle_list(faces.reshape(-1))
     lo = verts.min(axis=0)
     hi = verts.max(axis=0)
     pad = 0.05 * (hi - lo)
-    grid = Grid.from_bounding_box(lo - pad, hi + pad, [24, 24, 24])
+    grid = Grid.from_bounding_box(lo - pad, hi + pad, [res] * 3)
 
     cpt = np.asarray(
         m.generate_grid_sdf(verts, topo, grid, SignMethod.RAYCAST,
@@ -163,8 +175,6 @@ def test_knight_grid_cpt_vs_dense(rng):
     )
     assert np.all(np.abs(cpt) >= np.abs(want) - 1e-4)  # never undershoots
     rel = np.abs(np.abs(cpt) - np.abs(want)) / np.maximum(np.abs(want), 1e-4)
-    # Observed worst case 2.56% on knight@24^3 (thin features relative to
-    # cell size stress the sweep's far-field propagation).
-    assert rel.max() < 0.03, rel.max()
+    assert rel.max() <= 0.02, f"{asset}@{res}: {rel.max():.3%}"
     sign_mismatch = np.mean(np.sign(cpt) != np.sign(want))
     assert sign_mismatch == 0.0, f"{sign_mismatch:.3%}"

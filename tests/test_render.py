@@ -124,3 +124,79 @@ def test_ordered_indices_and_band(sphere_grid):
     pc = point_cloud(g, d)
     r = np.linalg.norm(pc, axis=1)
     assert np.abs(r - 1.0).max() < 0.2
+
+
+# ------------------------------------------------------------------ model pass
+def test_trace_mesh_sphere_hit():
+    """Rays toward an icosphere hit at ~unit distance from a 3-unit eye."""
+    from mesh_to_sdf_tpu.render import trace_mesh
+
+    v, f = make_icosphere(subdiv=2)
+    vj = jnp.asarray(v)
+    ta, tb, tc = vj[f[:, 0]], vj[f[:, 1]], vj[f[:, 2]]
+    o = jnp.asarray([[3.0, 0.0, 0.0], [3.0, 0.0, 0.0]])
+    d = jnp.asarray([[-1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    t, tri, u, vbar, hit = trace_mesh(o, d, ta, tb, tc)
+    assert bool(hit[0]) and not bool(hit[1])
+    assert abs(float(t[0]) - 2.0) < 0.05  # sphere radius ~1 (icosphere)
+    assert int(tri[0]) >= 0
+
+
+def test_render_model_matches_sdf_silhouette(sphere_grid):
+    """Model render: non-empty, centered silhouette ≈ the SDF render's."""
+    from mesh_to_sdf_tpu.render import render_model
+
+    g, d = sphere_grid
+    v, f = make_icosphere(subdiv=2)
+    cam = Camera.orbit(g, width=48, height=48)
+    img_m = np.asarray(render_model(v, f, cam, shadows=False))
+    img_s = np.asarray(
+        render(jnp.asarray(d), g, cam, shadows=False)
+    )
+    assert img_m.shape == (48, 48, 3)
+    hit_m = img_m.sum(-1) > 0.01
+    hit_s = img_s.sum(-1) > 0.01
+    assert hit_m.any()
+    # Silhouettes overlap substantially (same sphere).
+    inter = (hit_m & hit_s).sum()
+    union = (hit_m | hit_s).sum()
+    assert inter / union > 0.75, inter / union
+
+
+def test_render_model_vertex_colors():
+    from mesh_to_sdf_tpu.render import render_model
+
+    v, f = make_icosphere(subdiv=2)
+    colors = np.where((v[:, 0] > 0)[:, None],
+                      np.array([1.0, 0.0, 0.0], np.float32),
+                      np.array([0.0, 0.0, 1.0], np.float32))
+    g = Grid.from_bounding_box([-1.3] * 3, [1.3] * 3, [8] * 3)
+    cam = Camera.orbit(g, azimuth_deg=90.0, elevation_deg=0.0,
+                       width=32, height=32)
+    # Eye x-dominant → sees the +x (red) or -x (blue) hemisphere.
+    img = np.asarray(render_model(v, f, cam, vertex_colors=colors,
+                                  shadows=False))
+    hit = img.sum(-1) > 0.01
+    mean = img[hit].mean(axis=0)
+    if float(np.asarray(cam.eye)[0]) > 0:
+        assert mean[0] > mean[2], mean
+    else:
+        assert mean[2] > mean[0], mean
+
+
+def test_render_model_and_sdf_composite(sphere_grid):
+    """ModelAndSdf: model surface (exact mesh) wins where nearer; output
+    differs from pure SDF render but silhouette stays."""
+    from mesh_to_sdf_tpu.render import render_model_and_sdf
+
+    g, d = sphere_grid
+    v, f = make_icosphere(subdiv=2)
+    cam = Camera.orbit(g, width=40, height=40)
+    img = np.asarray(
+        render_model_and_sdf(v, f, jnp.asarray(d), g, cam, shadows=False)
+    )
+    assert img.shape == (40, 40, 3)
+    hit = img.sum(-1) > 0.01
+    assert hit.any()
+    # Center pixel hits the (nearer) mesh surface: shaded, not background.
+    assert img[20, 20].sum() > 0.05
