@@ -58,7 +58,7 @@ def select_candidates(tile_centers, tile_radius, ta, tb, tc, valid, k):
 def query_sdf_culled(queries, ta, tb, tc, valid, *, sign_method, raycast_axes=3,
                      k: int = DEFAULT_K, tile: int = 1024, parity_bins=None,
                      n_valid_tris: Optional[int] = None, sign_grid=None,
-                     block_index=None):
+                     block_index=None, st=None, nb_sub=None, nb_table=None):
     """generate_sdf with Morton-ordered query tiling + candidate culling —
     the analog of the reference's Rtree/RtreeBvh backends (`rtree.rs:96-126`,
     `rtree_bvh.rs:123-173`). Exact: a tile whose bound holds more than k
@@ -82,6 +82,65 @@ def query_sdf_culled(queries, ta, tb, tc, valid, *, sign_method, raycast_axes=3,
             raycast_axes=raycast_axes if sign_method == SignMethod.RAYCAST else 0,
         )
     n_valid = int(jnp.sum(valid))
+    if (block_index is not None and sign_method == SignMethod.RAYCAST
+            and sign_grid is not None):
+        # Fully-fused path: ONE scalar-prefetch kernel pass yields both
+        # distance and sign (anchor-segment parity against the resident
+        # candidate blocks); certificate-failed queries are recomputed
+        # densely with per-query parity — one extra call, subset-sized.
+        from .kernels import pallas_culled
+
+        Q = queries.shape[0]
+        if st is None:
+            st = 64 if Q >= 262_144 else 16
+        qt = pallas_culled.DEFAULT_QT
+        nb_table = nb_table or pallas_culled.DEFAULT_NB_TABLE
+        # The scalar-prefetch table lives in SMEM (1 MiB on v5e): clamp the
+        # per-tile slot count for very large batches (certificates absorb
+        # the tighter unions; flagged queries recompute densely).
+        n_qt = -(-Q // qt)
+        nb_table = max(min(nb_table, (2**20 // 4) // max(n_qt, 1) - 8), 16)
+        interp = jax.default_backend() != "tpu"
+        k_fix = min(max(4096, Q // 32), 65_536)
+        signed, n_flag = _culled_signed_fixup_impl(
+            queries, block_index, sign_grid.inside, sign_grid.grid,
+            ta[:n_valid], tb[:n_valid], tc[:n_valid],
+            qt=qt, st=st,
+            nb_sub=nb_sub or pallas_culled.DEFAULT_NB_SUB,
+            nb_table=nb_table, k_fix=k_fix, raycast_axes=raycast_axes,
+            interpret=interp,
+        )
+        if int(n_flag) > k_fix:
+            # Budget blown (pathological distribution): redo ALL flagged
+            # queries host-side — exactness never depends on k_fix.
+            _, flag = _culled_blocks_signed_impl(
+                queries, block_index, sign_grid.inside, sign_grid.grid,
+                qt=qt, st=st,
+                nb_sub=nb_sub or pallas_culled.DEFAULT_NB_SUB,
+                nb_table=nb_table, interpret=interp,
+            )
+            bad_idx = np.flatnonzero(np.asarray(flag))
+            pad = (-len(bad_idx)) % 1024
+            bad_pad = np.concatenate([bad_idx, np.zeros(pad, np.int64)])
+            subset = queries[jnp.asarray(bad_pad)]
+            if not interp:
+                from .kernels import pallas_sdf
+
+                sub = pallas_sdf.sdf_raycast_pallas(
+                    subset, ta[:n_valid], tb[:n_valid], tc[:n_valid],
+                    raycast_axes=raycast_axes,
+                )
+            else:
+                sub = brute.sdf_brute(
+                    subset, ta, tb, tc, valid,
+                    sign_method=sign_method, raycast_axes=raycast_axes,
+                    query_chunk=subset.shape[0],
+                )
+            signed = signed.at[jnp.asarray(bad_idx)].set(
+                sub[: len(bad_idx)]
+            )
+        return signed
+
     if block_index is not None and sign_method == SignMethod.RAYCAST:
         # Scalar-prefetch Pallas path: per-tile candidate blocks DMA'd to
         # VMEM once, shared by the tile's queries (vs per-query gathers).
@@ -123,25 +182,45 @@ def query_sdf_culled(queries, ta, tb, tc, valid, *, sign_method, raycast_axes=3,
         dist = dist.at[jnp.asarray(bad_idx)].set(sub[: len(bad_idx)])
 
     if sign_method == SignMethod.RAYCAST:
-        if parity_bins is not None:
-            counts = binned_parity_counts(
-                queries, ta, tb, tc, parity_bins[:raycast_axes],
-                n_valid=n_valid_tris,
+        if parity_bins is not None and (
+            sign_grid is None or queries.shape[0] <= PARITY_ALL_MAX
+        ):
+            # Small batches: exact tile-binned parity for EVERY query in
+            # one fixed-shape pass — cheaper than sign-grid transfer plus
+            # its data-dependent near-shell fallback (each extra eager
+            # dispatch costs ~20 ms through the axon tunnel, which
+            # dominated the 35k-query criterion workload).
+            inside = _binned_inside(
+                queries, ta, tb, tc, parity_bins, raycast_axes,
+                n_valid_tris,
             )
-            odd = counts % 2 == 1
-            if raycast_axes == 1:
-                inside = odd[:, 0]
-            else:
-                inside = jnp.sum(odd, axis=1) >= 2
         else:
             sg = sign_grid if sign_grid is not None else build_sign_grid(
                 ta, tb, tc, valid
             )
             inside = signs_from_grid(
-                queries, dist, sg, ta, tb, tc, valid, raycast_axes
+                queries, dist, sg, ta, tb, tc, valid, raycast_axes,
+                parity_bins=parity_bins,
             )
         dist = jnp.where(inside, -dist, dist)
     return dist
+
+
+#: Below this many queries, exact binned parity on ALL queries beats the
+#: sign-grid transfer + near-shell fallback (fewer dispatches, no subset
+#: round-trip).
+PARITY_ALL_MAX = 131_072
+
+
+@functools.partial(jax.jit, static_argnames=("raycast_axes", "n_valid"))
+def _binned_inside(queries, ta, tb, tc, parity_bins, raycast_axes, n_valid):
+    counts = binned_parity_counts(
+        queries, ta, tb, tc, parity_bins[:raycast_axes], n_valid=n_valid
+    )
+    odd = counts % 2 == 1
+    if raycast_axes == 1:
+        return odd[:, 0]
+    return jnp.sum(odd, axis=1) >= 2
 
 
 # ---------------------------------------------------------------- internals
@@ -172,9 +251,9 @@ def _ceil_pow2(n: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("qt", "st", "nb_sub", "interpret")
+    jax.jit, static_argnames=("qt", "st", "nb_sub", "nb_table", "interpret")
 )
-def _culled_blocks_impl(queries, bi, *, qt, st, nb_sub, interpret):
+def _culled_blocks_impl(queries, bi, *, qt, st, nb_sub, nb_table, interpret):
     from .kernels import pallas_culled
 
     Q = queries.shape[0]
@@ -185,7 +264,7 @@ def _culled_blocks_impl(queries, bi, *, qt, st, nb_sub, interpret):
     # sub-tile's extent and wreck its certificate.
     q_pad = jnp.pad(q_sorted, ((0, pad), (0, 0)), mode="edge")
     tbl, lb_excl, centers = pallas_culled.select_blocks(
-        q_pad, bi, nb_sub=nb_sub, st=st, qt=qt
+        q_pad, bi, nb_sub=nb_sub, st=st, qt=qt, nb_table=nb_table
     )
     dist = pallas_culled.culled_dist_pallas(
         q_pad, bi, tbl, qt=qt, interpret=interpret
@@ -201,18 +280,135 @@ def _culled_blocks_impl(queries, bi, *, qt, st, nb_sub, interpret):
     return dist[inv], q_overflow[inv]
 
 
-def query_dist_culled_blocks(queries, block_index, *, qt=None, st=None,
-                             nb_sub=None, interpret: bool = False):
-    """Unsigned min distances via the scalar-prefetch block kernel
-    (ops/kernels/pallas_culled.py). Returns (dist, q_overflow|None)."""
+@functools.partial(
+    jax.jit, static_argnames=("qt", "st", "nb_sub", "nb_table", "interpret")
+)
+def _culled_blocks_signed_impl(queries, bi, inside3, grid, *, qt, st, nb_sub,
+                               nb_table, interpret):
+    """Fully-fused CULLED raycast pass: ONE kernel yields distance AND sign.
+
+    Every query's sign anchor is its sign-grid cell center; the kernel
+    counts query→anchor segment crossings against the SAME resident
+    candidate blocks it reduces distances over. Sign: transferable queries
+    (``dist > |q−anchor|`` — the segment provably cannot cross the
+    surface) copy the anchor's sign; shell queries XOR it with the segment
+    parity. Exactness flags per query: distance certificate (as before)
+    plus a segment certificate ``cert ≥ |q−anchor|`` (an excluded triangle
+    crossing the segment would be nearer than cert — contradiction).
+    Returns (signed distances, failure flags) in input order.
+    """
     from .kernels import pallas_culled
 
+    Q = queries.shape[0]
+    order = _morton_order(queries)
+    q_sorted = queries[order]
+    pad = (-Q) % qt
+    q_pad = jnp.pad(q_sorted, ((0, pad), (0, 0)), mode="edge")
+    tbl, lb_excl, centers = pallas_culled.select_blocks(
+        q_pad, bi, nb_sub=nb_sub, st=st, qt=qt, nb_table=nb_table
+    )
+
+    counts_g = jnp.asarray(grid.cell_count, jnp.int32)
+    fc = jnp.asarray(grid.first_cell)
+    cs = jnp.asarray(grid.cell_size)
+    bmin = fc - 0.5 * cs
+    bmax = fc + (counts_g.astype(jnp.float32) - 0.5) * cs
+    cell = jnp.clip(
+        jnp.floor((q_pad - bmin) / cs).astype(jnp.int32), 0, counts_g - 1
+    )
+    anchors = grid.cell_center(cell)
+    dist_p, cnt_p = pallas_culled.culled_dist_pallas(
+        q_pad, bi, tbl, anchors=anchors, qt=qt, interpret=interpret
+    )
+    dist = dist_p[:Q]
+    cnt = cnt_p[:Q]
+    c_q = jnp.repeat(centers, st, axis=0)[:Q]
+    cert = jnp.repeat(lb_excl, st)[:Q] - jnp.linalg.norm(
+        q_sorted[:Q] - c_q, axis=-1
+    )
+
+    qs = q_sorted[:Q]
+    cellq = cell[:Q]
+    anch = anchors[:Q]
+    out_of_box = jnp.any((qs < bmin[None]) | (qs > bmax[None]), axis=-1)
+    reach = jnp.linalg.norm(qs - anch, axis=-1)
+    transferable = out_of_box | (dist > reach * (1.0 + 1e-5))
+    center_inside = inside3[cellq[:, 0], cellq[:, 1], cellq[:, 2]]
+    parity_inside = center_inside ^ (cnt % 2 == 1)
+    inside_q = jnp.where(
+        out_of_box, False,
+        jnp.where(transferable, center_inside, parity_inside),
+    )
+    dist_fail = dist > cert * (1.0 - 1e-6)
+    seg_fail = (~transferable) & (cert < reach * (1.0 + 1e-6))
+    flag = dist_fail | seg_fail
+    signed = jnp.where(inside_q, -dist, dist)
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(Q))
+    return signed[inv], flag[inv]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "qt", "st", "nb_sub", "nb_table", "k_fix", "raycast_axes",
+        "interpret",
+    ),
+)
+def _culled_signed_fixup_impl(queries, bi, inside3, grid, ra, rb, rc, *,
+                              qt, st, nb_sub, nb_table, k_fix, raycast_axes,
+                              interpret):
+    """Fused pass + IN-JIT dense fix-up of up to ``k_fix`` flagged queries.
+
+    The host-driven subset fallback costs ~4 eager dispatches (~20 ms each
+    through the axon tunnel) — at criterion-workload sizes that overhead
+    exceeded the compute. Here the flagged indices are extracted with a
+    static budget (`jnp.nonzero(size=k_fix)`), recomputed by the dense
+    fused kernel with per-query parity, and scattered back, all in ONE
+    program. Returns (signed, n_flagged) — the caller falls back to the
+    host path only when n_flagged > k_fix (rare; result still exact).
+    """
+    from .kernels import pallas_sdf
+
+    signed, flag = _culled_blocks_signed_impl(
+        queries, bi, inside3, grid, qt=qt, st=st, nb_sub=nb_sub,
+        nb_table=nb_table, interpret=interpret,
+    )
+    n_flag = jnp.sum(flag)
+    # Pad slots get an OUT-OF-RANGE index and are dropped by the scatter:
+    # an in-range fill (e.g. 0) would collide with a genuinely-flagged
+    # query 0 — duplicate scatter indices with different payloads are
+    # nondeterministic in XLA.
+    Q = queries.shape[0]
+    idx = jnp.nonzero(flag, size=k_fix, fill_value=Q)[0]
+    subset = queries[jnp.minimum(idx, Q - 1)]
+    sub = pallas_sdf.sdf_raycast_pallas(
+        subset, ra, rb, rc, raycast_axes=raycast_axes, interpret=interpret
+    )[:k_fix]
+    return signed.at[idx].set(sub, mode="drop"), n_flag
+
+
+def query_dist_culled_blocks(queries, block_index, *, qt=None, st=None,
+                             nb_sub=None, nb_table=None,
+                             interpret: bool = False):
+    """Unsigned min distances via the scalar-prefetch block kernel
+    (ops/kernels/pallas_culled.py). Returns (dist, q_overflow|None).
+
+    Sub-tile size adapts to query density: sparse batches get small
+    sub-tiles (the a-priori candidate window 2·r_s scales with sub-tile
+    extent — measured on FlightHelmet, a 35k query grid at st=128 needs a
+    median 218 of 371 blocks; at st=32 the window shrinks 4×).
+    """
+    from .kernels import pallas_culled
+
+    Q = queries.shape[0]
     qt = qt or pallas_culled.DEFAULT_QT
-    st = st or pallas_culled.DEFAULT_ST
+    if st is None:
+        st = pallas_culled.DEFAULT_ST if Q >= 262_144 else 32
     nb_sub = nb_sub or pallas_culled.DEFAULT_NB_SUB
+    nb_table = nb_table or pallas_culled.DEFAULT_NB_TABLE
     dist, q_overflow = _culled_blocks_impl(
         queries, block_index, qt=qt, st=st, nb_sub=nb_sub,
-        interpret=interpret,
+        nb_table=nb_table, interpret=interpret,
     )
     if bool(jnp.any(q_overflow)):
         return dist, q_overflow
@@ -509,9 +705,13 @@ def _grid_transfer(queries, dist_unsigned, inside, grid):
 
 
 def signs_from_grid(queries, dist_unsigned, sg: SignGrid, ta, tb, tc, valid,
-                    raycast_axes: int = 3):
+                    raycast_axes: int = 3, parity_bins=None):
     """Inside mask for queries: sign-grid transfer + exact near-surface
-    fallback. Returns (Q,) bool."""
+    fallback. Returns (Q,) bool.
+
+    ``parity_bins``: when available, the near-shell subset is signed by the
+    tile-binned exact parity (O(subset·bin) — ~10× cheaper than the
+    O(subset·T) fused parity sweep it replaces)."""
     inside_q, transferable = _grid_transfer(
         queries, dist_unsigned, sg.inside, sg.grid
     )
@@ -524,6 +724,14 @@ def signs_from_grid(queries, dist_unsigned, sg: SignGrid, ta, tb, tc, valid,
     pad = (-len(bad_idx)) % 1024
     bad_pad = np.concatenate([bad_idx, np.zeros(pad, np.int64)])
     subset = queries[jnp.asarray(bad_pad)]
+    if parity_bins is not None:
+        n_valid = int(jnp.sum(valid))
+        sub_inside = _binned_inside(
+            subset, ta, tb, tc, parity_bins, raycast_axes, n_valid
+        )
+        return inside_q.at[jnp.asarray(bad_idx)].set(
+            sub_inside[: len(bad_idx)]
+        )
     if jax.default_backend() == "tpu":
         from .kernels import pallas_sdf
 

@@ -4,7 +4,9 @@ The TPU-native completion of the reference's R-tree branch-and-bound
 (`bvh_ext.rs:59-168`, `rtree.rs:96-126`): triangles are Morton-sorted into
 spatially-coherent BLOCKS of ``TB`` (default 256); an XLA phase selects, per
 SUB-TILE of ``st`` Morton-sorted queries (default 128), the ``nb_sub``
-candidate blocks with the smallest box-distance lower bound; the per-kernel-
+candidate blocks with the smallest EXACT min triangle distance from the
+sub-tile center (one fused (sub-tiles × T) closest-point sweep — 1/st of
+the brute work); the per-kernel-
 tile (``qt`` = 1024 queries) UNION of its sub-tiles' candidates is deduped
 (duplicates → the pad block, sorted last so consecutive identical block
 indices skip both the DMA and, via ``pl.when``, the compute). The kernel
@@ -13,13 +15,14 @@ scalar-prefetched table — each candidate block is DMA'd to VMEM once per
 TILE and shared by all 1024 queries, instead of per-query gathers (the XLA
 formulation's bandwidth wall, see BENCH.md).
 
-Sub-tile granularity is the round-3 fix for the certificate pass rate: the
-round-2 kernel selected candidates per 1024-query tile, whose radius at
-scattered-query density made ``lb_excluded − |q − c|`` fail for most queries
-near dense meshes (the dense-recompute tail then dominated, BENCH_r02).
-With 128-query sub-tiles the center distance shrinks ~2× and the excluded
-bound is measured per sub-tile against the TILE union (strictly larger
-excluded set ⇒ strictly tighter bound).
+Sub-tile granularity + exact bounds are the round-3 fix for the
+certificate pass rate: the round-2 kernel selected candidates per
+1024-query tile by BOX distance, whose excluded bound collapses to zero
+wherever Morton-block AABBs overlap the tile (measured 70-88% failures →
+the dense-recompute tail dominated, BENCH_r02). With 128-query sub-tiles
+the center distance shrinks ~2×, the bound uses exact triangle distances
+(strictly positive off-surface), and it is measured against the TILE union
+(strictly larger excluded set ⇒ strictly tighter bound).
 
 Exactness is certified POST-HOC per query: every triangle in an excluded
 block satisfies ``d(q, tri) ≥ d(c_s, tri) − |q − c_s| ≥ lb_excluded(s) −
@@ -47,8 +50,13 @@ from .pallas_sdf import PAD_COORD, _closest_point_vw, _dist2
 DEFAULT_QT = 1024
 #: Queries per phase-A sub-tile (must divide DEFAULT_QT).
 DEFAULT_ST = 128
-#: Candidate blocks per sub-tile; the kernel table has (qt/st)·nb_sub slots.
-DEFAULT_NB_SUB = 8
+#: Candidate-block CAPACITY per sub-tile (slots actually filled =
+#: min(n_within, this) — see select_blocks).
+DEFAULT_NB_SUB = 48
+#: Cap on distinct union slots per kernel tile (bounds the scalar-prefetch
+#: table in SMEM); overflowing tiles keep their nearest blocks and rely on
+#: the per-query certificate for the rest.
+DEFAULT_NB_TABLE = 256
 #: Triangles per Morton block. Lane-dim slices must be 128-multiples.
 TB = 256
 
@@ -57,14 +65,22 @@ TB = 256
 class BlockIndex:
     """Per-mesh spatial block structure (host-built, device-resident).
 
-    rows: (B+1, 9·tb) f32 — Morton-ordered triangle planes packed one row
-    per block: [ax | ay | az | abx | aby | abz | acx | acy | acz], each
-    segment ``tb`` wide; one extra all-PAD row at index B (so a single
-    row-DMA fetches a whole block). lo/hi: (B, 3) block AABBs over REAL
-    triangles; n_blocks: B; tb: triangles per block.
+    rows: (B+1, 9·tb/128, 128) f32 — Morton-ordered triangle planes packed
+    one row per block: [ax | ay | az | abx | aby | abz | acx | acy | acz],
+    each segment ``tb`` wide; one extra all-PAD row at index B (so a single
+    row-DMA fetches a whole block). planes9: (9, B·tb) f32 vertex
+    coordinate planes (ax ay az bx by bz cx cy cz, PAD_COORD tail) — phase
+    A computes EXACT per-block min distances from them (box-distance
+    bounds are useless here: Morton block AABBs overlap so heavily near
+    the surface that the excluded-block bound saturates at zero, measured
+    70-88%% certificate failures; and component planes avoid the (·,·,3)
+    minor-dim tile-padding blowup, memory `tpu-layout-rules`).
+    lo/hi: (B, 3) block AABBs over REAL triangles; n_blocks: B; tb:
+    triangles per block.
     """
 
     rows: object
+    planes9: object
     lo: object
     hi: object
     n_blocks: int
@@ -122,7 +138,13 @@ def build_block_index(ta, tb, tc, *, block: int = TB) -> BlockIndex:
     np.minimum.at(lo_b, blk_of, tri_lo)
     np.maximum.at(hi_b, blk_of, tri_hi)
 
-    # Pack plane rows: (B+1, 9·block), one extra all-pad row at index B.
+    # Pack plane rows: (B+1, 9·block/128, 128) — Mosaic block specs require
+    # the last two dims be (divisible by 8, divisible by 128) OR equal to
+    # the array dims, so a (1, row, lane) block covering the FULL trailing
+    # dims is the one legal single-row shape. One extra all-pad row at
+    # index B. Plane k occupies sub-rows [k·block/128, (k+1)·block/128).
+    if block % 128:
+        raise ValueError(f"block={block} must be a multiple of 128")
     rows = np.empty((B + 1, 9 * block), np.float32)
     for k, (arr, padval) in enumerate(
         [(ta_p[:, 0], PAD_COORD), (ta_p[:, 1], PAD_COORD),
@@ -132,8 +154,16 @@ def build_block_index(ta, tb, tc, *, block: int = TB) -> BlockIndex:
     ):
         rows[:B, k * block:(k + 1) * block] = arr.reshape(B, block)
         rows[B, k * block:(k + 1) * block] = padval
+    tb_p = ta_p + ab_p
+    tc_p = ta_p + ac_p
+    planes9 = np.stack([
+        ta_p[:, 0], ta_p[:, 1], ta_p[:, 2],
+        tb_p[:, 0], tb_p[:, 1], tb_p[:, 2],
+        tc_p[:, 0], tc_p[:, 1], tc_p[:, 2],
+    ])
     return BlockIndex(
-        rows=jnp.asarray(rows),
+        rows=jnp.asarray(rows.reshape(B + 1, 9 * block // 128, 128)),
+        planes9=jnp.asarray(planes9),
         lo=jnp.asarray(lo_b),
         hi=jnp.asarray(hi_b),
         n_blocks=B,
@@ -141,16 +171,19 @@ def build_block_index(ta, tb, tc, *, block: int = TB) -> BlockIndex:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("nb_sub", "st", "qt"))
+@functools.partial(
+    jax.jit, static_argnames=("nb_sub", "st", "qt", "nb_table")
+)
 def select_blocks(q_pad, bi: BlockIndex, *, nb_sub: int = DEFAULT_NB_SUB,
-                  st: int = DEFAULT_ST, qt: int = DEFAULT_QT):
+                  st: int = DEFAULT_ST, qt: int = DEFAULT_QT,
+                  nb_table: int = DEFAULT_NB_TABLE):
     """Phase A: per-sub-tile nearest candidate blocks → per-tile union table.
 
     q_pad: (Qp, 3) Morton-sorted queries, Qp % qt == 0, qt % st == 0.
     Returns (tbl (Qp/qt, (qt/st)·nb_sub) int32 — sorted, duplicates and
     unused slots = ``bi.n_blocks`` (the pad row); lb_excl (Qp/st,) f32 —
-    per sub-tile, the min box-distance from its center to any block NOT in
-    its tile's union; centers (Qp/st, 3)).
+    per sub-tile, the min EXACT triangle distance from its center to any
+    block NOT in its tile's union; centers (Qp/st, 3)).
     """
     Qp = q_pad.shape[0]
     n_sub = Qp // st
@@ -163,31 +196,56 @@ def select_blocks(q_pad, bi: BlockIndex, *, nb_sub: int = DEFAULT_NB_SUB,
     smax = jnp.max(subs, axis=1)
     centers = (smin + smax) * 0.5
 
-    # Box distance (iquilezles, ≙ `bvh_ext.rs:18-31`) per component —
-    # never materialize an (n_sub, B, 3) minor-dim-3 tensor (tile-pads
-    # 3 → 128 lanes; measured 42× HBM blowup, memory `tpu-layout-rules`).
-    c = (bi.lo + bi.hi) * 0.5
-    h = (bi.hi - bi.lo) * 0.5
-    lb2 = jnp.zeros((n_sub, B), jnp.float32)
-    for k in range(3):
-        dk = jnp.maximum(
-            jnp.abs(centers[:, k][:, None] - c[None, :, k]) - h[None, :, k],
-            0.0,
-        )
-        lb2 = lb2 + dk * dk
-    lb = jnp.sqrt(lb2)
-    lb = jnp.where(jnp.isfinite(bi.lo[None, :, 0]), lb, F32_MAX)
+    # EXACT per-block min distance from each sub-tile center: one fused
+    # (chunk × T) closest-point sweep, segment-min'd per block. O(n_sub·T)
+    # — the 1/st fraction of brute work that makes culling pay. Box-
+    # distance bounds are NOT usable here: Morton block AABBs overlap so
+    # much near the surface that the excluded bound collapses to 0
+    # (measured 70-88% certificate failures).
+    from .pallas_sweep import _pt_dist
+
+    Tp = bi.planes9.shape[1]
+    chunk = min(256, n_sub)
+    pad_rows = (-n_sub) % chunk
+    c_pad = jnp.pad(centers, ((0, pad_rows), (0, 0)), mode="edge")
+    v9 = bi.planes9[:, None, :]  # (9, 1, Tp) — component planes
+
+    def body(c_chunk):
+        d = _pt_dist(
+            c_chunk[:, 0][:, None], c_chunk[:, 1][:, None],
+            c_chunk[:, 2][:, None], v9,
+        )  # (chunk, Tp)
+        return jnp.min(d.reshape(chunk, B, Tp // B), axis=2)
+
+    lb = jax.lax.map(body, c_pad.reshape(-1, chunk, 3)).reshape(-1, B)[:n_sub]
 
     k_sel = min(nb_sub, B)
     _, idx = jax.lax.top_k(-lb, k_sel)  # (n_sub, k_sel) nearest blocks
 
+    # A-priori exactness requirement (triangle inequality, ≙ the r-tree's
+    # branch-and-bound frontier): a block with D[s,b] > dmin_s + 2·r_s
+    # cannot hold the winner for ANY q in the sub-tile. Keep only
+    # min(n_within, k_sel) slots — sub-tiles in easy regions contribute
+    # 1-3 blocks instead of k_sel, which both shrinks the union (kernel
+    # compute) and ENLARGES the excluded set (tighter certificates).
+    r_s = jnp.linalg.norm((smax - smin) * 0.5, axis=-1)
+    dmin = jnp.min(lb, axis=1)
+    n_within = jnp.sum(lb <= (dmin + 2.0 * r_s)[:, None], axis=1)
+    keep = jnp.arange(k_sel)[None, :] < jnp.maximum(n_within, 1)[:, None]
+    idx = jnp.where(keep, idx, B)
+
     # Tile union: collect sub-tile selections, sort, dedup → pad id B.
+    # Distinct slots beyond ``nb_table`` are truncated (SMEM bound): the
+    # dropped blocks join the excluded set, so the per-query certificate
+    # (computed from the FINAL table) keeps the result exact-or-flagged.
     ids = idx.reshape(n_qt, spt * k_sel)
     ids = jnp.sort(ids, axis=1)
     dup = jnp.concatenate(
         [jnp.zeros((n_qt, 1), bool), ids[:, 1:] == ids[:, :-1]], axis=1
     )
     tbl = jnp.sort(jnp.where(dup, B, ids), axis=1)
+    if tbl.shape[1] > nb_table:
+        tbl = tbl[:, :nb_table]
 
     # Excluded lower bound vs the UNION (strictly tighter than the
     # (nb_sub+1)-th own candidate: the union excludes fewer blocks).
@@ -201,8 +259,12 @@ def select_blocks(q_pad, bi: BlockIndex, *, nb_sub: int = DEFAULT_NB_SUB,
     return tbl.astype(jnp.int32), lb_excl, centers
 
 
-def _kernel_culled(tbl_ref, qx_ref, qy_ref, qz_ref, t_ref, d2_ref, *,
-                   tb: int, n_blocks: int):
+def _kernel_culled(tbl_ref, *refs, tb: int, n_blocks: int, with_sign: bool):
+    if with_sign:
+        (qx_ref, qy_ref, qz_ref, sx_ref, sy_ref, sz_ref, t_ref,
+         d2_ref, cnt_ref) = refs
+    else:
+        qx_ref, qy_ref, qz_ref, t_ref, d2_ref = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
     slot = tbl_ref[i, j]
@@ -210,40 +272,92 @@ def _kernel_culled(tbl_ref, qx_ref, qy_ref, qz_ref, t_ref, d2_ref, *,
     @pl.when(j == 0)
     def _():
         d2_ref[:] = jnp.full_like(d2_ref[:], F32_MAX)
+        if with_sign:
+            cnt_ref[:] = jnp.zeros_like(cnt_ref[:])
 
     # Pad slots (sorted last): their DMA is skipped by index-revisiting and
     # their compute by this predicate. Slot 0 is always a real block.
     @pl.when(slot != n_blocks)
     def _():
+        # 2-D pair math over 128-lane sub-rows of the block (Mosaic
+        # supports the 1-D→2-D trailing-singleton expand; 3-D broadcasts
+        # of 1-D vectors are an unsupported shape cast).
         qx = qx_ref[:][:, None]
         qy = qy_ref[:][:, None]
         qz = qz_ref[:][:, None]
+        if with_sign:
+            # Segment direction toward the query's sign-anchor (its sign-
+            # grid cell center): the SAME resident triangles yield both the
+            # distance and the segment-crossing parity — no separate sign
+            # pass over the soup.
+            dxx = sx_ref[:][:, None] - qx
+            dyy = sy_ref[:][:, None] - qy
+            dzz = sz_ref[:][:, None] - qz
+        r = tb // 128
+        run = None
+        run_c = None
+        for s in range(r):
+            def plane(k, s=s):
+                return t_ref[0, k * r + s, :][None, :]  # (1, 128)
 
-        def plane(k):
-            return t_ref[0:1, k * tb:(k + 1) * tb]
-
-        ax, ay, az = plane(0), plane(1), plane(2)
-        abx, aby, abz = plane(3), plane(4), plane(5)
-        acx, acy, acz = plane(6), plane(7), plane(8)
-        ap = (qx - ax, qy - ay, qz - az)
-        v, w, d1, d2_, A, B_, C = _closest_point_vw(
-            *ap, abx, aby, abz, acx, acy, acz
-        )
-        d2pair = _dist2(*ap, v, w, d1, d2_, A, B_, C)
-        d2_ref[:] = jnp.minimum(d2_ref[:], jnp.min(d2pair, axis=1))
+            ax, ay, az = plane(0), plane(1), plane(2)
+            abx, aby, abz = plane(3), plane(4), plane(5)
+            acx, acy, acz = plane(6), plane(7), plane(8)
+            ap = (qx - ax, qy - ay, qz - az)
+            v, w, d1, d2_, A, B_, C = _closest_point_vw(
+                *ap, abx, aby, abz, acx, acy, acz
+            )
+            d2pair = _dist2(*ap, v, w, d1, d2_, A, B_, C)
+            m = jnp.min(d2pair, axis=1)
+            run = m if run is None else jnp.minimum(run, m)
+            if with_sign:
+                # Möller–Trumbore segment-triangle crossing, strict
+                # interior (the reference's aligned test has the same
+                # shared-edge blind spot, `geo.rs:156-216`).
+                pvx = dyy * acz - dzz * acy
+                pvy = dzz * acx - dxx * acz
+                pvz = dxx * acy - dyy * acx
+                det = abx * pvx + aby * pvy + abz * pvz
+                inv = jnp.where(
+                    det == 0.0, 0.0,
+                    1.0 / jnp.where(det == 0.0, 1.0, det),
+                )
+                # tvec = q − a = ap; qvec = tvec × e1.
+                u = (ap[0] * pvx + ap[1] * pvy + ap[2] * pvz) * inv
+                qvx = ap[1] * abz - ap[2] * aby
+                qvy = ap[2] * abx - ap[0] * abz
+                qvz = ap[0] * aby - ap[1] * abx
+                vv = (dxx * qvx + dyy * qvy + dzz * qvz) * inv
+                tt = (acx * qvx + acy * qvy + acz * qvz) * inv
+                hit = (
+                    (det != 0.0) & (u > 0.0) & (vv > 0.0)
+                    & (u + vv < 1.0) & (tt > 0.0) & (tt < 1.0)
+                )
+                c = jnp.sum(hit.astype(jnp.int32), axis=1)
+                run_c = c if run_c is None else run_c + c
+        d2_ref[:] = jnp.minimum(d2_ref[:], run)
+        if with_sign:
+            cnt_ref[:] = cnt_ref[:] + run_c
 
 
 @functools.partial(jax.jit, static_argnames=("qt", "interpret"))
 def culled_dist_pallas(queries_sorted, bi: BlockIndex, tbl, *,
-                       qt: int = DEFAULT_QT, interpret: bool = False):
+                       anchors=None, qt: int = DEFAULT_QT,
+                       interpret: bool = False):
     """Min distance per (Morton-sorted, qt-padded) query via its tile's
     candidate blocks. queries_sorted: (Qp, 3) with Qp % qt == 0;
     tbl: (Qp//qt, NB) int32 (pad slots = bi.n_blocks, sorted last).
-    Returns (Qp,) f32 distances."""
+
+    ``anchors`` (Qp, 3): optional per-query segment endpoints (sign-grid
+    cell centers) — the kernel then ALSO counts query→anchor segment
+    crossings against the same resident blocks and returns
+    (distances, counts); else just distances.
+    """
     Qp = queries_sorted.shape[0]
     n_qt = Qp // qt
     nb = tbl.shape[1]
     tb = bi.tb
+    with_sign = anchors is not None
 
     qx = queries_sorted[:, 0]
     qy = queries_sorted[:, 1]
@@ -251,34 +365,51 @@ def culled_dist_pallas(queries_sorted, bi: BlockIndex, tbl, *,
 
     qspec = pl.BlockSpec((qt,), lambda i, j, tbl_ref: (i,),
                          memory_space=pltpu.VMEM)
-    tspec = pl.BlockSpec((1, 9 * tb), lambda i, j, tbl_ref: (tbl_ref[i, j], 0),
-                         memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec(
+        (1, 9 * tb // 128, 128),
+        lambda i, j, tbl_ref: (tbl_ref[i, j], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     ospec = pl.BlockSpec((qt,), lambda i, j, tbl_ref: (i,),
                          memory_space=pltpu.VMEM)
 
+    n_q_in = 6 if with_sign else 3
+    out_shapes = [jax.ShapeDtypeStruct((Qp,), jnp.float32)]
+    if with_sign:
+        out_shapes.append(jax.ShapeDtypeStruct((Qp,), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_qt, nb),
-        in_specs=[qspec] * 3 + [tspec],
-        out_specs=[ospec],
+        in_specs=[qspec] * n_q_in + [tspec],
+        out_specs=[ospec] * len(out_shapes),
         scratch_shapes=[],
     )
-    (d2,) = pl.pallas_call(
-        functools.partial(_kernel_culled, tb=tb, n_blocks=bi.n_blocks),
+    args = [tbl, qx, qy, qz]
+    if with_sign:
+        args += [anchors[:, 0], anchors[:, 1], anchors[:, 2]]
+    args.append(bi.rows)
+    outs = pl.pallas_call(
+        functools.partial(
+            _kernel_culled, tb=tb, n_blocks=bi.n_blocks,
+            with_sign=with_sign,
+        ),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((Qp,), jnp.float32)],
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(tbl, qx, qy, qz, bi.rows)
-    return jnp.sqrt(d2)
+    )(*args)
+    if with_sign:
+        return jnp.sqrt(outs[0]), outs[1]
+    return jnp.sqrt(outs[0])
 
 
 jax.tree_util.register_pytree_node(
     BlockIndex,
-    lambda b: ((b.rows, b.lo, b.hi), (b.n_blocks, b.tb)),
+    lambda b: ((b.rows, b.planes9, b.lo, b.hi), (b.n_blocks, b.tb)),
     lambda aux, ch: BlockIndex(
-        rows=ch[0], lo=ch[1], hi=ch[2], n_blocks=aux[0], tb=aux[1]
+        rows=ch[0], planes9=ch[1], lo=ch[2], hi=ch[3],
+        n_blocks=aux[0], tb=aux[1]
     ),
 )

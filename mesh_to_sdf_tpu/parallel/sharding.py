@@ -202,6 +202,83 @@ def generate_sdf_sharded(
     return out[:Q]
 
 
+def generate_sdf_sharded_culled(
+    vertices,
+    faces,
+    query_points,
+    mesh: Mesh,
+    *,
+    raycast_axes: int = 3,
+    st: Optional[int] = None,
+    nb_sub: Optional[int] = None,
+    nb_table: Optional[int] = None,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Multi-device CULLED `generate_sdf` (raycast sign): queries sharded on
+    ``cells``; the Morton block index and sign grid are built once on the
+    host and replicated (≙ the reference building one R-tree + BVH shared
+    by all rayon workers, `rtree_bvh.rs:108-119`). Each shard runs the
+    fully-fused block kernel (distance + anchor-segment sign); the few
+    certificate-failed queries re-route through the exact sharded brute
+    path — so the result is exact everywhere.
+    """
+    from ..ops import culling
+    from ..ops.kernels import pallas_culled
+    from ..query import (
+        _block_index_cached, _sign_grid_cached, prepare_triangles,
+    )
+    from ..topology import Topology as _T
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n_dev = mesh.shape[CELL_AXIS]
+    f_np = np.asarray(faces, np.int64).reshape(-1, 3)
+    topo = _T.triangle_list(f_np.reshape(-1))
+    ta, tb, tc, valid, n_tris = prepare_triangles(vertices, topo, 1024)
+    bi = _block_index_cached(ta, tb, tc, n_tris)
+    sg = _sign_grid_cached(ta, tb, tc, valid, n_tris)
+
+    q_np = np.asarray(query_points, np.float32)
+    Q = q_np.shape[0]
+    qt = pallas_culled.DEFAULT_QT
+    if st is None:
+        st = pallas_culled.DEFAULT_ST if Q >= 262_144 * n_dev else 32
+    nb_sub = nb_sub or pallas_culled.DEFAULT_NB_SUB
+    nb_table = nb_table or pallas_culled.DEFAULT_NB_TABLE
+    Qpad = pad_for_axis(max(Q, 1), mesh, CELL_AXIS, qt)
+    q_np = np.concatenate([q_np, np.zeros((Qpad - Q, 3), np.float32)])
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(CELL_AXIS)),
+        out_specs=(P(CELL_AXIS), P(CELL_AXIS)),
+        check_vma=False,
+    )
+    def run(bi_r, sg_inside, q_shard):
+        return culling._culled_blocks_signed_impl(
+            q_shard, bi_r, sg_inside, sg.grid,
+            qt=qt, st=st, nb_sub=nb_sub, nb_table=nb_table,
+            interpret=not use_pallas,
+        )
+
+    bi_r = jax.device_put(bi, NamedSharding(mesh, P()))
+    ins = jax.device_put(sg.inside, NamedSharding(mesh, P()))
+    q = jax.device_put(jnp.asarray(q_np), NamedSharding(mesh, P(CELL_AXIS)))
+    signed, flag = jax.jit(run)(bi_r, ins, q)
+    signed = signed[:Q]
+    flag = np.asarray(flag[:Q])
+    bad = np.flatnonzero(flag)
+    if len(bad):
+        sub = generate_sdf_sharded(
+            vertices, f_np.astype(np.int32), q_np[bad], mesh,
+            SignMethod.RAYCAST, raycast_axes=raycast_axes,
+            use_pallas=use_pallas,
+        )
+        signed = signed.at[jnp.asarray(bad)].set(sub)
+    return signed
+
+
 def generate_grid_sdf_sharded(
     vertices,
     tri_idx,

@@ -95,6 +95,43 @@ def _sign_grid_cached(ta, tb, tc, valid, n_tris: int):
 _BLOCK_INDEX_CACHE: dict = {}
 _BLOCK_INDEX_CACHE_MAX = 4
 
+#: Content-hashed cache of per-axis 2-D parity bins (exact raycast sign
+#: without the O(Q·T) sweep, ≙ the BVH the reference builds once per mesh).
+_PARITY_BINS_CACHE: dict = {}
+_PARITY_BINS_CACHE_MAX = 4
+
+
+def _parity_bins_cached(ta, tb, tc, n_tris: int):
+    import zlib
+
+    from .ops import culling
+
+    key = (
+        zlib.adler32(np.asarray(ta[:n_tris]).tobytes()),
+        zlib.adler32(np.asarray(tb[:n_tris]).tobytes()),
+        zlib.adler32(np.asarray(tc[:n_tris]).tobytes()),
+        int(n_tris),
+        "pb",
+    )
+    pb = _PARITY_BINS_CACHE.get(key)
+    if pb is None:
+        pb = tuple(
+            culling.build_parity_bins(ta, tb, tc, axis, n_valid=n_tris)
+            for axis in range(3)
+        )
+        # Upload once: reuse across calls without re-staging the tables.
+        pb = tuple(
+            culling.ParityBins(
+                jnp.asarray(b.table), jnp.asarray(b.lo2),
+                jnp.asarray(b.inv_ts), b.g,
+            )
+            for b in pb
+        )
+        if len(_PARITY_BINS_CACHE) >= _PARITY_BINS_CACHE_MAX:
+            _PARITY_BINS_CACHE.pop(next(iter(_PARITY_BINS_CACHE)))
+        _PARITY_BINS_CACHE[key] = pb
+    return pb
+
 
 def _block_index_cached(ta, tb, tc, n_tris: int):
     import zlib
@@ -180,13 +217,15 @@ def generate_sdf(
 
         sign_grid = None
         block_index = None
+        parity_bins = None
         if (sign == SignMethod.RAYCAST and n_tris > 2 * culling.DEFAULT_K
                 and Q >= SIGN_GRID_MIN_QUERIES):
-            # Coarse exact parity grid (≙ the reference's BVH build phase,
-            # `rtree_bvh.rs:108-119`), cached per mesh content: signs every
-            # query outside the thin near-surface shell without touching
-            # the triangle soup. Small batches keep the per-query sweep
-            # (the grid build wouldn't amortize).
+            # Per-mesh cached sign structures (≙ the reference's BVH build
+            # phase, `rtree_bvh.rs:108-119`): the coarse sign grid anchors
+            # every query's sign (transfer for far queries; fused anchor-
+            # segment parity in the block kernel for the shell). Small
+            # batches keep the per-query sweep (the builds wouldn't
+            # amortize).
             sign_grid = _sign_grid_cached(ta, tb, tc, valid, n_tris)
             if jax.default_backend() == "tpu":
                 # Morton block index (≙ R-tree bulk_load) feeding the
@@ -196,7 +235,7 @@ def generate_sdf(
             jnp.asarray(q), ta, tb, tc, valid,
             sign_method=sign, raycast_axes=raycast_axes,
             n_valid_tris=n_tris, sign_grid=sign_grid,
-            block_index=block_index,
+            block_index=block_index, parity_bins=parity_bins,
         )[:Q]
 
     chunk = min(query_chunk, max(Q, 1))

@@ -24,6 +24,8 @@ from mesh_to_sdf_tpu.types import SignMethod
 st = int(sys.argv[1]) if len(sys.argv) > 1 else pallas_culled.DEFAULT_ST
 nb_sub = int(sys.argv[2]) if len(sys.argv) > 2 else pallas_culled.DEFAULT_NB_SUB
 block = int(sys.argv[3]) if len(sys.argv) > 3 else pallas_culled.TB
+nb_table = int(sys.argv[4]) if len(sys.argv) > 4 else pallas_culled.DEFAULT_NB_TABLE
+st_grid = int(sys.argv[5]) if len(sys.argv) > 5 else 32
 
 hv, hf = gltf.load_scene("/root/reference/mesh_to_sdf/assets/FlightHelmet.glb").merge()
 htopo = Topology.triangle_list(hf.reshape(-1))
@@ -56,15 +58,18 @@ q_grid = jnp.asarray(_query_grid(hv, 0.01))
 print("grid queries:", q_grid.shape[0], flush=True)
 
 for name, q in (("scattered_1M", q_scat), ("query_grid", q_grid)):
-    # warm
-    dist, ovf = culling._culled_blocks_impl(
-        q, bi, qt=1024, st=st, nb_sub=nb_sub, interpret=False
-    )
+    st_w = st if name == "scattered_1M" else st_grid
+
+    def once():
+        return culling._culled_blocks_impl(
+            q, bi, qt=1024, st=st_w, nb_sub=nb_sub, nb_table=nb_table,
+            interpret=False,
+        )
+
+    dist, ovf = once()  # warm
     jax.block_until_ready((dist, ovf))
     t0 = time.perf_counter()
-    dist, ovf = culling._culled_blocks_impl(
-        q, bi, qt=1024, st=st, nb_sub=nb_sub, interpret=False
-    )
+    dist, ovf = once()
     jax.block_until_ready((dist, ovf))
     t_kernel = time.perf_counter() - t0
     n_ovf = int(jnp.sum(ovf))
@@ -74,7 +79,7 @@ for name, q in (("scattered_1M", q_scat), ("query_grid", q_grid)):
         flush=True,
     )
 
-    # Full path (incl. dense recompute of failed + sign grid) — end to end.
+    # Full path (fused kernel + subset fallback) — end to end.
     sg = qmod._sign_grid_cached(ta, tb, tc, valid, n)
 
     def full():

@@ -273,7 +273,7 @@ def test_block_culled_kernel_matches_brute(big_sphere, rng):
          ).reshape(-1, 3)
     q = jnp.asarray(q)
     dist, q_ovf = culling._culled_blocks_impl(
-        q, bi, qt=128, st=64, nb_sub=8, interpret=True
+        q, bi, qt=128, st=64, nb_sub=8, nb_table=16, interpret=True
     )
     ta_p, tb_p, tc_p, valid_p, blk = brute.pad_tri_blocks(
         ta, tb, tc, valid, 512

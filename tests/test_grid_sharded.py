@@ -68,3 +68,95 @@ def test_sharded_uneven_rejects():
     m = pmesh.make_sdf_mesh(cells=8, tris=1)
     with pytest.raises(ValueError, match="divide"):
         generate_grid_sdf_sharded_cpt(v, f, g, m)
+
+
+def test_sharded_four_device_slabs(setup):
+    """Non-trivial slab count: 4-way cells axis (x tris=2) on the same grid."""
+    v, f, g, _ = setup
+    topo = Topology.triangle_list(f.reshape(-1))
+    m4 = pmesh.make_sdf_mesh(cells=4, tris=2)
+    ref = np.asarray(
+        generate_grid_sdf(v, topo, g, SignMethod.RAYCAST, strategy=Strategy.CPT)
+    )
+    got = np.asarray(generate_grid_sdf_sharded_cpt(v, f, g, m4, SignMethod.RAYCAST))
+    assert (np.sign(got) == np.sign(ref)).all()
+    np.testing.assert_allclose(got, ref, atol=3e-3)
+
+
+def test_sharded_halo_rounds_sensitivity(setup):
+    """More halo rounds monotonically tightens the far field (distance info
+    propagates one slab per round); both settings stay inside the contract."""
+    v, f, g, m = setup
+    topo = Topology.triangle_list(f.reshape(-1))
+    brute = np.asarray(
+        generate_grid_sdf(v, topo, g, SignMethod.RAYCAST, strategy=Strategy.XLA)
+    )
+    errs = []
+    for rounds in (1, 3):
+        got = np.asarray(
+            generate_grid_sdf_sharded_cpt(
+                v, f, g, m, SignMethod.RAYCAST, halo_rounds=rounds
+            )
+        )
+        assert (np.sign(got) == np.sign(brute)).all()
+        rel = (np.abs(got) - np.abs(brute)) / np.maximum(np.abs(brute), 1e-6)
+        errs.append(rel.max())
+        assert rel.max() < 3e-2, (rounds, rel.max())
+    assert errs[1] <= errs[0] + 1e-6
+
+
+def test_sharded_asymmetric_grid():
+    """Slab sharding on a non-cubic grid (thin y/z) with a torus (genus-1
+    sign topology)."""
+    from mesh_to_sdf_tpu.utils.meshgen import torus
+
+    v, f = torus(1.0, 0.35, n_major=24, n_minor=12)
+    g = Grid.from_bounding_box([-1.6, -0.6, -1.6], [1.6, 0.6, 1.6],
+                               [16, 8, 12])
+    m = pmesh.make_sdf_mesh(cells=8, tris=1)
+    topo = Topology.triangle_list(f.reshape(-1))
+    ref = np.asarray(
+        generate_grid_sdf(v, topo, g, SignMethod.RAYCAST, strategy=Strategy.XLA)
+    )
+    got = np.asarray(generate_grid_sdf_sharded_cpt(v, f, g, m, SignMethod.RAYCAST))
+    assert (np.sign(got) == np.sign(ref)).all()
+
+
+def test_sharded_culled_queries_match_exact(setup, rng):
+    """Sharded CULLED (fused block kernel per query shard + replicated
+    index) == the exact single-device engine, including flagged-query
+    re-routing."""
+    from mesh_to_sdf_tpu.parallel.sharding import generate_sdf_sharded_culled
+    from mesh_to_sdf_tpu import generate_sdf
+
+    v, f, _, _ = setup
+    m = pmesh.make_sdf_mesh(cells=8, tris=1)
+    q = rng.uniform(-1.4, 1.4, (4096, 3)).astype(np.float32)
+    got = np.asarray(generate_sdf_sharded_culled(v, f, q, m))
+    topo = Topology.triangle_list(f.reshape(-1))
+    want = np.asarray(
+        generate_sdf(v, topo, q, Strategy.XLA, sign_method=SignMethod.RAYCAST)
+    )
+    # atol 5e-5: the kernel reduces mins over 128-lane rows (different
+    # float association than the XLA chunked reduce) — near-surface cells
+    # sit at |d|~1e-4 where that shows up.
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=5e-5)
+
+
+def test_sharded_culled_tiny_capacity_still_exact(setup, rng):
+    """Starving the candidate capacity floods the flag path — the sharded
+    brute re-route must keep the result exact."""
+    from mesh_to_sdf_tpu.parallel.sharding import generate_sdf_sharded_culled
+    from mesh_to_sdf_tpu import generate_sdf
+
+    v, f, _, _ = setup
+    m = pmesh.make_sdf_mesh(cells=8, tris=1)
+    q = rng.uniform(-1.4, 1.4, (2048, 3)).astype(np.float32)
+    got = np.asarray(
+        generate_sdf_sharded_culled(v, f, q, m, st=32, nb_sub=1, nb_table=2)
+    )
+    topo = Topology.triangle_list(f.reshape(-1))
+    want = np.asarray(
+        generate_sdf(v, topo, q, Strategy.XLA, sign_method=SignMethod.RAYCAST)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
