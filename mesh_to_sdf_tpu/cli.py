@@ -114,7 +114,9 @@ def cmd_render(args) -> int:
 
     view = getattr(args, "view", "sdf")
     material = None
-    if view != "sdf" and not args.input.endswith((".glb", ".gltf")):
+    if view not in ("sdf", "voxels") and not args.input.endswith(
+        (".glb", ".gltf")
+    ):
         raise SystemExit(
             f"error: --view {view} renders the source mesh and needs a "
             ".glb/.gltf input, not a baked SDF"
@@ -177,6 +179,15 @@ def cmd_render(args) -> int:
         img = render_model_and_sdf(
             verts, faces, dist, grid, cam, iso=args.iso,
             mode=RaymarchMode(args.mode), shadows=not args.no_shadows,
+        )
+    elif view == "voxels":
+        # ≙ RenderMode::Voxels (`draw_voxels.wgsl`, instanced iso-band
+        # cubes) — exact DDA cube-cast, works on baked SDFs too.
+        from .render import render_voxels
+
+        img = render_voxels(
+            dist, grid, cam, iso=args.iso,
+            shadows=not args.no_shadows, material=material,
         )
     else:
         img = render(
@@ -358,7 +369,8 @@ def main(argv=None) -> int:
              "a 6-face cubemap (mesh inputs only)",
     )
     r.add_argument(
-        "--view", choices=["sdf", "model", "model+sdf"], default="sdf",
+        "--view", choices=["sdf", "voxels", "model", "model+sdf"],
+        default="sdf",
         help="what to draw (RenderMode, `sdf_program.rs:38-45`): the "
              "raymarched SDF, the source mesh (Blinn-Phong + shadows), or "
              "both composited by depth (mesh inputs only for model views)",

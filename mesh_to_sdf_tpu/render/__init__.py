@@ -12,6 +12,7 @@ from .image import save_png, to_uint8
 from .splat import colorize_distances, render_points, render_sdf_points
 from .cubemap import Cubemap, generate_cubemap, sample_cubemap
 from .model import render_model, render_model_and_sdf, trace_mesh
+from .voxels import band_occupancy, dda_trace, render_voxels
 
 __all__ = [
     "render_model", "render_model_and_sdf", "trace_mesh",
@@ -21,4 +22,5 @@ __all__ = [
     "point_cloud", "save_png", "to_uint8",
     "colorize_distances", "render_points", "render_sdf_points",
     "Cubemap", "generate_cubemap", "sample_cubemap",
+    "band_occupancy", "dda_trace", "render_voxels",
 ]

@@ -200,3 +200,84 @@ def test_render_model_and_sdf_composite(sphere_grid):
     assert hit.any()
     # Center pixel hits the (nearer) mesh surface: shaded, not background.
     assert img[20, 20].sum() > 0.05
+
+
+# ------------------------------------------------------------------ voxel pass
+def test_voxel_band_occupancy_matches_surface_cells(sphere_grid):
+    """The DDA's cube set == the ordered-index iso-band slice
+    (`voxel_render_pass.rs:280-310`)."""
+    from mesh_to_sdf_tpu.render import band_occupancy
+
+    g, d = sphere_grid
+    occ = np.asarray(band_occupancy(jnp.asarray(d), g))
+    cells = surface_cells(g, d)
+    ref = np.zeros(g.cell_count, bool)
+    ref[cells[:, 0], cells[:, 1], cells[:, 2]] = True
+    np.testing.assert_array_equal(occ, ref)
+
+
+def test_voxel_dda_hits_are_exact_cube_faces(sphere_grid):
+    """Every DDA hit lies on a face of its reported cell's cube and the
+    face normal is axis-aligned, unit, opposing the ray."""
+    from mesh_to_sdf_tpu.render import band_occupancy, dda_trace
+
+    g, d = sphere_grid
+    occ = band_occupancy(jnp.asarray(d), g)
+    cam = Camera.orbit(g, width=32, height=32)
+    o, dirs = cam.rays()
+    hit, t_hit, cell, normal = dda_trace(occ, g, o, dirs)
+    hit = np.asarray(hit)
+    assert hit.any()
+    pos = np.asarray(o + t_hit[..., None] * dirs)[hit]
+    cc = np.asarray(g.cell_center(cell))[hit]
+    nrm = np.asarray(normal)[hit]
+    half = np.abs(np.asarray(g.cell_size)) * 0.5
+    # Inside the cube (within face tolerance) on every axis…
+    off = np.abs(pos - cc) - half[None]
+    assert off.max() < 1e-3
+    # …and ON the face the normal names.
+    face_axis = np.argmax(np.abs(nrm), axis=1)
+    on_face = np.abs(
+        np.take_along_axis(off, face_axis[:, None], axis=1)
+    )
+    assert on_face.max() < 1e-3
+    assert np.allclose(np.linalg.norm(nrm, axis=1), 1.0)
+    # Entering face: the normal opposes the ray direction.
+    dirs_h = np.asarray(dirs)[hit]
+    assert (np.sum(nrm * dirs_h, axis=1) < 0).all()
+
+
+def test_render_voxels_image(sphere_grid):
+    """Voxel render: sphere silhouette visible, matches the raymarch
+    silhouette closely (same band geometry), corners empty."""
+    from mesh_to_sdf_tpu.render import render_voxels
+
+    g, d = sphere_grid
+    cam = Camera.orbit(g, width=48, height=48)
+    img = np.asarray(render_voxels(jnp.asarray(d), g, cam))
+    assert img.shape == (48, 48, 3)
+    vox_hit = img.sum(-1) > 0
+    assert img[0, 0].sum() == 0
+    assert img[24, 24].sum() > 0
+    ray = np.asarray(render(jnp.asarray(d), g, cam))
+    ray_hit = ray.sum(-1) > 0
+    inter = (vox_hit & ray_hit).sum()
+    union = (vox_hit | ray_hit).sum()
+    assert inter / union > 0.7, inter / union
+
+
+def test_render_voxels_shadows_darken(sphere_grid):
+    from mesh_to_sdf_tpu.render import render_voxels
+
+    g, d = sphere_grid
+    cam = Camera.orbit(g, width=32, height=32)
+    # Light from far below: upward faces occluded by the sphere itself.
+    lp = (0.0, -50.0, 0.0)
+    img_s = np.asarray(
+        render_voxels(jnp.asarray(d), g, cam, light_pos=lp, shadows=True)
+    )
+    img_n = np.asarray(
+        render_voxels(jnp.asarray(d), g, cam, light_pos=lp, shadows=False)
+    )
+    hit = img_n.sum(-1) > 0
+    assert img_s[hit].mean() < img_n[hit].mean()
