@@ -34,6 +34,7 @@ are recomputed densely by the caller.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -59,6 +60,11 @@ DEFAULT_NB_SUB = 48
 DEFAULT_NB_TABLE = 256
 #: Triangles per Morton block. Lane-dim slices must be 128-multiples.
 TB = 256
+
+#: Phase-A block bound: "csphere" (per-triangle centroid−circumradius
+#: lower bound, ~6× cheaper) or "exact" (closest-point ladder). Read at
+#: import; certificates keep either choice exact-or-flagged.
+PHASE_A = os.environ.get("M2S_PHASE_A", "csphere")
 
 
 @dataclass(frozen=True)
@@ -196,26 +202,52 @@ def select_blocks(q_pad, bi: BlockIndex, *, nb_sub: int = DEFAULT_NB_SUB,
     smax = jnp.max(subs, axis=1)
     centers = (smin + smax) * 0.5
 
-    # EXACT per-block min distance from each sub-tile center: one fused
-    # (chunk × T) closest-point sweep, segment-min'd per block. O(n_sub·T)
-    # — the 1/st fraction of brute work that makes culling pay. Box-
-    # distance bounds are NOT usable here: Morton block AABBs overlap so
-    # much near the surface that the excluded bound collapses to 0
-    # (measured 70-88% certificate failures).
-    from .pallas_sweep import _pt_dist
-
+    # Per-block min TRIANGLE-distance lower bound from each sub-tile
+    # center, one fused (chunk × T) sweep segment-min'd per block —
+    # O(n_sub·T), the 1/st fraction of brute work that makes culling pay.
+    # Box-distance bounds over whole blocks are NOT usable here: Morton
+    # block AABBs overlap so much near the surface that the excluded
+    # bound collapses to 0 (measured 70-88% certificate failures). The
+    # default per-TRIANGLE centroid−circumradius bound
+    # (|c − centroid| − r ≤ d(c, tri)) is ~6× cheaper than the exact
+    # closest-point ladder and within 2·r_tri of it (tiny for dense
+    # meshes); exactness never depends on it — looser bounds only raise
+    # the certificate-flag rate. M2S_PHASE_A=exact restores the ladder.
     Tp = bi.planes9.shape[1]
     chunk = min(256, n_sub)
     pad_rows = (-n_sub) % chunk
     c_pad = jnp.pad(centers, ((0, pad_rows), (0, 0)), mode="edge")
     v9 = bi.planes9[:, None, :]  # (9, 1, Tp) — component planes
 
-    def body(c_chunk):
-        d = _pt_dist(
-            c_chunk[:, 0][:, None], c_chunk[:, 1][:, None],
-            c_chunk[:, 2][:, None], v9,
-        )  # (chunk, Tp)
-        return jnp.min(d.reshape(chunk, B, Tp // B), axis=2)
+    if PHASE_A == "exact":
+        from .pallas_sweep import _pt_dist
+
+        def body(c_chunk):
+            d = _pt_dist(
+                c_chunk[:, 0][:, None], c_chunk[:, 1][:, None],
+                c_chunk[:, 2][:, None], v9,
+            )  # (chunk, Tp)
+            return jnp.min(d.reshape(chunk, B, Tp // B), axis=2)
+    else:
+        p9 = bi.planes9
+        cen = (p9[0:3] + p9[3:6] + p9[6:9]) * (1.0 / 3.0)  # (3, Tp)
+        rad = jnp.sqrt(
+            jnp.maximum(
+                jnp.sum((p9[0:3] - cen) ** 2, axis=0),
+                jnp.maximum(
+                    jnp.sum((p9[3:6] - cen) ** 2, axis=0),
+                    jnp.sum((p9[6:9] - cen) ** 2, axis=0),
+                ),
+            )
+        )
+
+        def body(c_chunk):
+            dx = c_chunk[:, 0][:, None] - cen[0][None, :]
+            dy = c_chunk[:, 1][:, None] - cen[1][None, :]
+            dz = c_chunk[:, 2][:, None] - cen[2][None, :]
+            d = jnp.sqrt(dx * dx + dy * dy + dz * dz) - rad[None, :]
+            d = jnp.maximum(d, 0.0)
+            return jnp.min(d.reshape(chunk, B, Tp // B), axis=2)
 
     lb = jax.lax.map(body, c_pad.reshape(-1, chunk, 3)).reshape(-1, B)[:n_sub]
 
