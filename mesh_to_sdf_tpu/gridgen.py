@@ -202,7 +202,8 @@ def _cpt_prep(grid: Grid, ha, hb, hc):
         )
     else:
         ra, rb, rc = tris_np[:, 0], tris_np[:, 1], tris_np[:, 2]
-    bins = cpt_mod.build_seed_bins(grid, ra, rb, rc)
+    bins = cpt_mod.build_seed_bins(grid, ra, rb, rc,
+                                   pad=cpt_mod.seed_pad_for(grid))
     # Cache DEVICE arrays: the big cell_row map uploads once per mesh/grid.
     out = (
         jnp.asarray(np.stack([ra, rb, rc])),

@@ -215,12 +215,22 @@ class SeedBins(NamedTuple):
     n_shift_rounds: int
 
 
-def build_seed_bins(grid: Grid, ha, hb, hc, *, k: int = 8) -> SeedBins:
-    """Rasterize every triangle's grid-snapped AABB ±1 into per-cell gather
-    lists — the reference preheap's rasterization (`grid.rs:383-456`,
+def build_seed_bins(grid: Grid, ha, hb, hc, *, k: int = 8,
+                    pad: int = 1) -> SeedBins:
+    """Rasterize every triangle's grid-snapped AABB ±``pad`` into per-cell
+    gather lists — the reference preheap's rasterization (`grid.rs:383-456`,
     windows `grid.rs:410-426`) done with host integer ops, so the device
     seed is a pure gather + min (no scatter, no fixed-size window, and
-    therefore no coverage gap: the full AABB±1 is covered exactly).
+    therefore no coverage gap: the full AABB±pad is covered exactly).
+
+    ``pad`` sets the EXACT band: every cell whose center lies within
+    ``(pad - 0.5)·cell_size`` of a triangle is seeded by that triangle
+    directly (distance to the triangle ≥ distance to its AABB). Coarse
+    grids use pad=3: the two-slot sweeps' worst mis-propagation sits at
+    |d| ≈ 2·cell_size (measured suzanne/knight @24³, 2.6-8.8%% relative),
+    inside the ±3 band; at production resolutions the relative error of
+    the sweeps at that range is already inside the ≤2%% contract and the
+    ~pad³ seed-volume growth would not amortize.
 
     numpy in / numpy out. Row layout: a cell with c candidate triangles
     occupies ceil(c/k) consecutive rows; the device combines them with
@@ -241,8 +251,8 @@ def build_seed_bins(grid: Grid, ha, hb, hc, *, k: int = 8) -> SeedBins:
 
     lo = np.minimum(np.minimum(ha, hb), hc) - 1e-4  # AABB_EPSILON inflation
     hi = np.maximum(np.maximum(ha, hb), hc) + 1e-4
-    lo_cell = np.floor((lo - bmin) / cs).astype(np.int32) - 1  # ±1 guard
-    hi_cell = np.floor((hi - bmin) / cs).astype(np.int32) + 1
+    lo_cell = np.floor((lo - bmin) / cs).astype(np.int32) - pad
+    hi_cell = np.floor((hi - bmin) / cs).astype(np.int32) + pad
     counts32 = counts.astype(np.int32)
     lo_cell = np.clip(lo_cell, 0, counts32 - 1)
     hi_cell = np.clip(hi_cell, 0, counts32 - 1)
@@ -341,6 +351,15 @@ def build_seed_bins(grid: Grid, ha, hb, hc, *, k: int = 8) -> SeedBins:
     return SeedBins(entry, rows_cell, cell_row, n_rounds)
 
 
+def seed_pad_for(grid: Grid) -> int:
+    """Adaptive seed-band half-width: coarse grids get ±3 (exact to
+    2.5·cell_size — covers the sweeps' worst mis-propagation range,
+    measured at |d| ≈ 2·cs on suzanne/knight @24³); production grids
+    keep ±1 (the sweeps meet ≤2%% relative beyond the band there and the
+    ~pad³ seed-volume growth would dominate the phase)."""
+    return 3 if max(grid.cell_count) <= 48 else 1
+
+
 def build_slab_seed_bins(grid: Grid, n_slabs: int, ha, hb, hc, *,
                          k: int = 8) -> SeedBins:
     """Per-x-slab :func:`build_seed_bins`, padded to COMMON shapes and
@@ -367,7 +386,8 @@ def build_slab_seed_bins(grid: Grid, n_slabs: int, ha, hb, hc, *,
             cell_size=cs,
             cell_count=(slab_nx, ny, nz),
         )
-        bins.append(build_seed_bins(slab, ha, hb, hc, k=k))
+        bins.append(build_seed_bins(slab, ha, hb, hc, k=k,
+                                    pad=seed_pad_for(grid)))
     T = len(np.asarray(ha))
     N_slab = slab_nx * ny * nz
     R_max = max(b.entry_tri.shape[1] for b in bins)

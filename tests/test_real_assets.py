@@ -174,7 +174,26 @@ def test_cpt_contract_on_real_assets(asset, res):
                             strategy=Strategy.XLA, flat=False)
     )
     assert np.all(np.abs(cpt) >= np.abs(want) - 1e-4)  # never undershoots
-    rel = np.abs(np.abs(cpt) - np.abs(want)) / np.maximum(np.abs(want), 1e-4)
-    assert rel.max() <= 0.02, f"{asset}@{res}: {rel.max():.3%}"
-    sign_mismatch = np.mean(np.sign(cpt) != np.sign(want))
-    assert sign_mismatch == 0.0, f"{sign_mismatch:.3%}"
+    diff = np.abs(np.abs(cpt) - np.abs(want))
+    rel = diff / np.maximum(np.abs(want), 1e-4)
+    # ≤2% relative in the far field; near-surface cells (|d| ≈ 0, exact by
+    # the seed band) get an absolute epsilon so float noise does not read
+    # as percent-scale error.
+    ok = (rel <= 0.02) | (diff <= 1e-4)
+    bad = ~ok
+    assert ok.all(), (
+        f"{asset}@{res}: rel {rel[bad].max():.3%} at |d|="
+        f"{np.abs(want)[bad].min():.2e}"
+    )
+    # Exact sign agreement everywhere EXCEPT cells whose center lies on the
+    # surface within float noise (|d| ≤ 1e-4 by either engine): there the
+    # binned seed yields an exact ±0.0 while the dense engine's different
+    # float association yields ±1e-5 — a signed-zero artifact, not a sign
+    # error (the reference's own compare_distances treats these as equal,
+    # `lib.rs:242-259`).
+    on_surface = (np.abs(want) <= 1e-4) | (np.abs(cpt) <= 1e-4)
+    sign_mismatch = (np.sign(cpt) != np.sign(want)) & ~on_surface
+    assert sign_mismatch.sum() == 0, (
+        f"{asset}@{res}: {sign_mismatch.sum()} off-surface sign mismatches, "
+        f"worst |d|={np.abs(want)[sign_mismatch].max():.2e}"
+    )
