@@ -55,6 +55,37 @@ def select_candidates(tile_centers, tile_radius, ta, tb, tc, valid, k):
     return idx.astype(jnp.int32), overflow, n_within
 
 
+#: Self-tuned routing decisions: (n_blocks, tb, log2-bucketed Q) → True
+#: when a measured culled pass on that (mesh, batch-size) shape showed the
+#: fused brute kernel is cheaper. First call per shape always runs culled
+#: and records; repeated calls (the criterion benchmark pattern, and any
+#: editing/optimization loop) get the winner. Keyed on block-structure
+#: numbers rather than mesh content: a collision only costs performance,
+#: never correctness (both engines are exact).
+_ROUTE_CACHE: dict = {}
+
+
+def _route_key(bi, Q: int):
+    return (bi.n_blocks, bi.tb, max(int(Q) - 1, 1).bit_length())
+
+
+def _route_to_brute(bi, Q: int) -> bool:
+    return _ROUTE_CACHE.get(_route_key(bi, Q), False)
+
+
+def _record_route(bi, Q: int, work_frac: float, *, st: int,
+                  k_fix_frac: float) -> None:
+    """Record whether culling paid on this workload shape.
+
+    Predicted culled/brute cost ratio: kernel pair-work fraction + the
+    always-paid static fix-up subset + phase-A/sort/certificate overhead
+    (~5%). ≥0.85 ⇒ culling cannot beat the fused brute kernel — remember
+    to route this shape straight to brute.
+    """
+    predicted = work_frac + k_fix_frac + 0.05
+    _ROUTE_CACHE[_route_key(bi, Q)] = bool(predicted >= 0.85)
+
+
 def query_sdf_culled(queries, ta, tb, tc, valid, *, sign_method, raycast_axes=3,
                      k: int = DEFAULT_K, tile: int = 1024, parity_bins=None,
                      n_valid_tris: Optional[int] = None, sign_grid=None,
@@ -82,6 +113,22 @@ def query_sdf_culled(queries, ta, tb, tc, valid, *, sign_method, raycast_axes=3,
             raycast_axes=raycast_axes if sign_method == SignMethod.RAYCAST else 0,
         )
     n_valid = int(jnp.sum(valid))
+    default_cfg = st is None and nb_sub is None and nb_table is None
+    if (block_index is not None and sign_method == SignMethod.RAYCAST
+            and sign_grid is not None and default_cfg
+            and _route_to_brute(block_index, queries.shape[0])):
+        # Self-tuned route: a previous call on this mesh at this batch size
+        # measured the culled kernel's work fraction high enough that the
+        # fused brute kernel is faster (small query-grid batches over dense
+        # meshes — tile unions hold most of the blocks). ≙ the reference
+        # docs steering method choice by workload (`README.md:108-121`).
+        from .kernels import pallas_sdf
+
+        return pallas_sdf.sdf_raycast_pallas(
+            jnp.asarray(queries), ta[:n_valid], tb[:n_valid], tc[:n_valid],
+            raycast_axes=raycast_axes,
+            interpret=jax.default_backend() != "tpu",
+        )[:queries.shape[0]]
     if (block_index is not None and sign_method == SignMethod.RAYCAST
             and sign_grid is not None):
         # Fully-fused path: ONE scalar-prefetch kernel pass yields both
@@ -102,7 +149,7 @@ def query_sdf_culled(queries, ta, tb, tc, valid, *, sign_method, raycast_axes=3,
         nb_table = max(min(nb_table, (2**20 // 4) // max(n_qt, 1) - 8), 16)
         interp = jax.default_backend() != "tpu"
         k_fix = min(max(4096, Q // 32), 65_536)
-        signed, n_flag = _culled_signed_fixup_impl(
+        signed, n_flag, work_frac = _culled_signed_fixup_impl(
             queries, block_index, sign_grid.inside, sign_grid.grid,
             ta[:n_valid], tb[:n_valid], tc[:n_valid],
             qt=qt, st=st,
@@ -110,10 +157,13 @@ def query_sdf_culled(queries, ta, tb, tc, valid, *, sign_method, raycast_axes=3,
             nb_table=nb_table, k_fix=k_fix, raycast_axes=raycast_axes,
             interpret=interp,
         )
+        if default_cfg:
+            _record_route(block_index, Q, float(work_frac), st=st,
+                          k_fix_frac=k_fix / max(Q, 1))
         if int(n_flag) > k_fix:
             # Budget blown (pathological distribution): redo ALL flagged
             # queries host-side — exactness never depends on k_fix.
-            _, flag = _culled_blocks_signed_impl(
+            _, flag, _wf = _culled_blocks_signed_impl(
                 queries, block_index, sign_grid.inside, sign_grid.grid,
                 qt=qt, st=st,
                 nb_sub=nb_sub or pallas_culled.DEFAULT_NB_SUB,
@@ -344,7 +394,11 @@ def _culled_blocks_signed_impl(queries, bi, inside3, grid, *, qt, st, nb_sub,
     flag = dist_fail | seg_fail
     signed = jnp.where(inside_q, -dist, dist)
     inv = jnp.zeros_like(order).at[order].set(jnp.arange(Q))
-    return signed[inv], flag[inv]
+    # Culled work fraction: kernel pair-evals / brute pair-evals. The
+    # caller uses it to self-tune routing (a tile union holding most of
+    # the blocks means culling cannot pay on this workload shape).
+    work_frac = jnp.sum(tbl != bi.n_blocks) / (tbl.shape[0] * bi.n_blocks)
+    return signed[inv], flag[inv], work_frac
 
 
 @functools.partial(
@@ -369,7 +423,7 @@ def _culled_signed_fixup_impl(queries, bi, inside3, grid, ra, rb, rc, *,
     """
     from .kernels import pallas_sdf
 
-    signed, flag = _culled_blocks_signed_impl(
+    signed, flag, work_frac = _culled_blocks_signed_impl(
         queries, bi, inside3, grid, qt=qt, st=st, nb_sub=nb_sub,
         nb_table=nb_table, interpret=interpret,
     )
@@ -384,7 +438,7 @@ def _culled_signed_fixup_impl(queries, bi, inside3, grid, ra, rb, rc, *,
     sub = pallas_sdf.sdf_raycast_pallas(
         subset, ra, rb, rc, raycast_axes=raycast_axes, interpret=interpret
     )[:k_fix]
-    return signed.at[idx].set(sub, mode="drop"), n_flag
+    return signed.at[idx].set(sub, mode="drop"), n_flag, work_frac
 
 
 def query_dist_culled_blocks(queries, block_index, *, qt=None, st=None,

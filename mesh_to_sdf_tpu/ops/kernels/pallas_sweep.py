@@ -36,6 +36,14 @@ PAD_COORD = 1.0e18
 
 def _pt_dist(cx, cy, cz, v):
     """Exact point-triangle distance, planes (n1, n2); v (9, n1, n2)."""
+    return jnp.sqrt(_pt_dist2(cx, cy, cz, v))
+
+
+def _pt_dist2(cx, cy, cz, v):
+    """Exact SQUARED point-triangle distance (no sqrt; ordering-identical
+    to :func:`_pt_dist` — sqrt is monotone — so min-merges can run in
+    d²-space and pay one sqrt per cell at the end instead of one per
+    candidate evaluation)."""
     ax, ay, az = v[0], v[1], v[2]
     bx, by, bz = v[3], v[4], v[5]
     cx2, cy2, cz2 = v[6], v[7], v[8]
@@ -101,7 +109,7 @@ def _pt_dist(cx, cy, cz, v):
 
     ap2 = apx * apx + apy * apy + apz * apz
     dd = ap2 + v_ * (v_ * A - 2.0 * d1 + 2.0 * w_ * B_) + w_ * (w_ * C - 2.0 * d2)
-    return jnp.sqrt(jnp.maximum(dd, 0.0))
+    return jnp.maximum(dd, 0.0)
 
 
 def _merge2(d1, v1, i1, d2, v2, i2, dc, vc, ic):
@@ -142,7 +150,7 @@ def _sweep_kernel(
     # scratch carry
     sd1, sv1, si1, sd2, sv2, si2,
     *, comp0: int, comp1: int, comp2: int, n0: int, chunk: int,
-    reverse: bool,
+    reverse: bool, squared: bool, slot2_center: bool,
 ):
     """comp0/1/2: which world coordinate (0=x,1=y,2=z) varies along the
     sweep axis / plane rows / plane cols. Each grid step processes ``chunk``
@@ -190,12 +198,22 @@ def _sweep_kernel(
         v2 = v2_ref[s]
         i2 = i2_ref[s]
 
+        dist = _pt_dist2 if squared else _pt_dist
         for dy in (0, 1, 2):
             for dz in (0, 1, 2):
-                for (sd, sv, si) in ((sd1, sv1, si1), (sd2, sv2, si2)):
+                # slot2_center: the runner-up carry only contributes its
+                # CENTER candidate (transverse runner-up flow still happens
+                # via slot-1 demotion in _merge2) — 10 exact evaluations
+                # per cell instead of 18; the sweep is VPU-compute-bound.
+                slots = (
+                    ((sd1, sv1, si1), (sd2, sv2, si2))
+                    if (not slot2_center) or (dy == 1 and dz == 1)
+                    else ((sd1, sv1, si1),)
+                )
+                for (sd, sv, si) in slots:
                     vcand = _shiftv(sv[:, :, :], dy, dz)
                     icand = _shift2(si[:, :], dy, dz, -1)
-                    dcand = _pt_dist(cx, cy, cz, vcand)
+                    dcand = dist(cx, cy, cz, vcand)
                     d1, v1, i1, d2, v2, i2 = _merge2(
                         d1, v1, i1, d2, v2, i2, dcand, vcand, icand
                     )
@@ -216,7 +234,10 @@ def _sweep_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("reverse", "comp0", "comp1", "comp2", "interpret"),
+    static_argnames=(
+        "reverse", "comp0", "comp1", "comp2", "interpret", "squared",
+        "slot2_center",
+    ),
 )
 def sweep_oriented(
     d1, v1, i1, d2, v2, i2,  # volumes (n0, n1, n2) / (n0, 9, n1, n2)
@@ -226,6 +247,8 @@ def sweep_oriented(
     *,
     comp0: int, comp1: int, comp2: int,
     interpret: bool = False,
+    squared: bool = False,  # d1/d2 volumes hold SQUARED distances
+    slot2_center: bool = False,  # runner-up carry: center candidate only
 ):
     """One directional sweep over volumes laid out sweep-axis-first.
 
@@ -257,7 +280,8 @@ def sweep_oriented(
     out = pl.pallas_call(
         functools.partial(
             _sweep_kernel, comp0=comp0, comp1=comp1, comp2=comp2, n0=n0,
-            chunk=chunk, reverse=reverse,
+            chunk=chunk, reverse=reverse, squared=squared,
+            slot2_center=slot2_center,
         ),
         grid=(n_blocks,),
         in_specs=[smem] * 7 + [b3, b4, b3, b3, b4, b3],

@@ -22,11 +22,15 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..grid import Grid
 from . import geometry
 
-_INF = jnp.float32(jnp.inf)
+# numpy, not jnp: a module-level jnp scalar materializes on the default
+# device at IMPORT time, forcing backend initialization before the user
+# (or the CLI's --help) can even choose one.
+_INF = np.float32(np.inf)
 
 
 @functools.partial(jax.jit, static_argnames=("tri_block", "line_chunk", "axes"))

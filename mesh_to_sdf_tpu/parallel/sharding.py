@@ -256,11 +256,12 @@ def generate_sdf_sharded_culled(
         check_vma=False,
     )
     def run(bi_r, sg_inside, q_shard):
-        return culling._culled_blocks_signed_impl(
+        signed, flag, _work = culling._culled_blocks_signed_impl(
             q_shard, bi_r, sg_inside, sg.grid,
             qt=qt, st=st, nb_sub=nb_sub, nb_table=nb_table,
             interpret=not use_pallas,
         )
+        return signed, flag
 
     bi_r = jax.device_put(bi, NamedSharding(mesh, P()))
     ins = jax.device_put(sg.inside, NamedSharding(mesh, P()))

@@ -26,7 +26,8 @@ import numpy as np
 
 from ..ops import geometry
 
-_INF = jnp.float32(3.0e38)
+# numpy, not jnp: a module-level jnp scalar forces backend init at import.
+_INF = np.float32(3.0e38)
 #: Texel chunk per device step (bounds the (chunk, T) intermediates).
 TEXEL_CHUNK = 4096
 #: Default face resolution (the client uses 2048; 256 is plenty for the

@@ -27,7 +27,8 @@ from ..grid import Grid
 from .raymarch import Camera, MAX_STEPS, _grid_epsilon, estimate_normal, trace
 from .sampler import RaymarchMode
 
-_INF = jnp.float32(3.0e38)
+# numpy, not jnp: a module-level jnp scalar forces backend init at import.
+_INF = np.float32(3.0e38)
 #: Pixels per scan chunk (bounds the (chunk, block) pair temporaries).
 PIXEL_CHUNK = 4096
 TRI_BLOCK = 512

@@ -1,0 +1,78 @@
+"""256^3 grid phase breakdown on TPU: seeds / sweeps / parity, and the
+slot2_center sweep-schedule comparison (r3)."""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+import jax
+import jax.numpy as jnp
+
+from mesh_to_sdf_tpu import Grid, SignMethod, Topology, generate_grid_sdf
+from mesh_to_sdf_tpu.ops import cpt as cpt_mod
+from mesh_to_sdf_tpu.utils.meshgen import icosphere
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+
+verts, faces = icosphere(subdiv=5)
+topo = Topology.triangle_list(faces.reshape(-1))
+grid = Grid.from_bounding_box([-1.1] * 3, [1.1] * 3, [N, N, N])
+
+v = np.asarray(verts, np.float32)
+f = np.asarray(faces, np.int64)
+ta = jnp.asarray(v[f[:, 0]])
+tb = jnp.asarray(v[f[:, 1]])
+tc = jnp.asarray(v[f[:, 2]])
+
+
+def timeit(fn, rep=3):
+    fn()
+    ts = []
+    for _ in range(rep):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+# Host binning (cached in the real pipeline) — do once, outside timings.
+t0 = time.perf_counter()
+bins = cpt_mod.build_seed_bins(grid, np.asarray(ta), np.asarray(tb),
+                               np.asarray(tc))
+print(f"host binning (cold): {time.perf_counter() - t0:.3f}s", flush=True)
+
+
+def run_seed():
+    s = cpt_mod.seed_from_bins(grid, ta, tb, tc, bins)
+    jax.block_until_ready(s)
+    float(jnp.sum(s[0]))
+    return s
+
+
+seed = run_seed()
+t_seed = timeit(run_seed)
+print(f"seed (device): {t_seed:.3f}s", flush=True)
+
+for s2c in (False, True):
+    def run_sweeps(s2c=s2c):
+        d, i = cpt_mod.closest_point_grid_pallas(
+            grid, ta, tb, tc, seed=seed, slot2_center=s2c
+        )
+        float(jnp.sum(d))
+        return d
+
+    t = timeit(run_sweeps)
+    print(f"seed-eval+sweeps slot2_center={s2c}: {t:.3f}s "
+          f"(sweeps-only ~{t - t_seed:.3f}s)", flush=True)
+
+
+def run_full():
+    out = generate_grid_sdf(verts, topo, grid, SignMethod.RAYCAST)
+    float(jnp.sum(out))
+    return out
+
+
+t_full = timeit(run_full)
+print(f"FULL generate_grid_sdf {N}^3 raycast: {t_full:.3f}s = "
+      f"{N**3 / t_full:,.0f} cells/s", flush=True)

@@ -61,7 +61,7 @@ for name, (q, cfgs) in CONFIGS.items():
             return d
 
         # flag count (one cheap probe via the impl)
-        _, flag = culling._culled_blocks_signed_impl(
+        _, flag, _wf = culling._culled_blocks_signed_impl(
             q, bi, sg.inside, sg.grid, qt=1024, st=st, nb_sub=nb_sub,
             nb_table=nb_table, interpret=False)
         nf = int(jnp.sum(flag))

@@ -28,3 +28,18 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(20260816)
+
+
+@pytest.fixture(autouse=True)
+def _clear_culled_route_cache():
+    """The culled engine self-tunes per (mesh-shape, batch) routing from
+    measured work fractions; clear between tests so one test's recorded
+    decision can't silently reroute another test away from the code path
+    it means to exercise."""
+    yield
+    try:
+        from mesh_to_sdf_tpu.ops import culling
+
+        culling._ROUTE_CACHE.clear()
+    except ImportError:
+        pass

