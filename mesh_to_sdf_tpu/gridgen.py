@@ -173,10 +173,14 @@ _CPT_PREP_CACHE_MAX = 4
 
 
 def _cpt_prep(grid: Grid, ha, hb, hc):
-    """(stacked device soup (3,T,3), device SeedBins) — cached by content."""
+    """(stacked device soup (3,T,3), device SeedBins, per-axis LineBins) —
+    cached by content. LineBins route each 32×32-line parity tile to only
+    the triangle blocks whose transverse AABB overlaps it (exact; built on
+    the ORIGINAL soup — parity is subdivision-invariant)."""
     import zlib
 
     from .ops import cpt as cpt_mod
+    from .ops.kernels import pallas_parity
 
     cs = float(np.max(np.abs(np.asarray(grid.cell_size))))
     max_edge = 8.0 * cs
@@ -204,6 +208,12 @@ def _cpt_prep(grid: Grid, ha, hb, hc):
         ra, rb, rc = tris_np[:, 0], tris_np[:, 1], tris_np[:, 2]
     bins = cpt_mod.build_seed_bins(grid, ra, rb, rc,
                                    pad=cpt_mod.seed_pad_for(grid))
+    line_bins = tuple(
+        pallas_parity.build_line_bins(
+            grid, axis, tris_np[:, 0], tris_np[:, 1], tris_np[:, 2]
+        )
+        for axis in range(3)
+    )
     # Cache DEVICE arrays: the big cell_row map uploads once per mesh/grid.
     out = (
         jnp.asarray(np.stack([ra, rb, rc])),
@@ -213,6 +223,7 @@ def _cpt_prep(grid: Grid, ha, hb, hc):
             jnp.asarray(bins.cell_row),
             bins.n_shift_rounds,
         ),
+        line_bins,
     )
     if len(_CPT_PREP_CACHE) >= _CPT_PREP_CACHE_MAX:
         _CPT_PREP_CACHE.pop(next(iter(_CPT_PREP_CACHE)))
@@ -226,7 +237,8 @@ def _cpt_prep(grid: Grid, ha, hb, hc):
                      "seed_rounds", "sweep_rounds"),
 )
 def _cpt_grid_signed(grid, tris, tris_orig, seed_entry, seed_rows,
-                     seed_cellrow, raycast: bool, on_tpu: bool, flat: bool,
+                     seed_cellrow, line_bins,
+                     raycast: bool, on_tpu: bool, flat: bool,
                      raycast_axes: int = 3, seed_rounds: int = 0,
                      sweep_rounds: int = 1):
     """Fused CPT distance + sign for one grid (single dispatch).
@@ -269,7 +281,7 @@ def _cpt_grid_signed(grid, tris, tris_orig, seed_entry, seed_rows,
             from .ops.kernels import pallas_parity
 
             inside, ovf = pallas_parity.grid_inside_mask_pallas(
-                grid, oa, ob, oc, axes=raycast_axes
+                grid, oa, ob, oc, axes=raycast_axes, line_bins=line_bins
             )
         else:
             valid = jnp.ones((oa.shape[0],), bool)
@@ -372,7 +384,7 @@ def generate_grid_sdf(
         if len(ha) > 0:
             # Seeds come from host-binned AABB±1 rasterization (exact
             # coverage, no fixed window), cached by mesh/grid content.
-            tris_dev, bins = _cpt_prep(grid, ha, hb, hc)
+            tris_dev, bins, line_bins = _cpt_prep(grid, ha, hb, hc)
             # One upload + one jitted program for the whole device pipeline.
             out, ovf = _cpt_grid_signed(
                 grid,
@@ -381,6 +393,7 @@ def generate_grid_sdf(
                 bins.entry_tri,
                 bins.rows_cell,
                 bins.cell_row,
+                line_bins,
                 raycast=sign == SignMethod.RAYCAST,
                 on_tpu=jax.default_backend() == "tpu",
                 flat=flat,

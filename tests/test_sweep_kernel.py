@@ -187,3 +187,55 @@ def test_exact_resign_fallback():
         gridgen._exact_resign(wrong, verts, topo, grid, 3, 512, flat=True)
     )
     np.testing.assert_allclose(fixed, want, rtol=1e-6, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Binned line parity (r3): per-tile candidate triangle blocks
+# ---------------------------------------------------------------------------
+def test_binned_parity_matches_dense():
+    """The candidate-table parity kernel == the dense (every tile × every
+    block) kernel: excluded blocks provably cannot cross the tile's lines
+    (transverse AABB disjointness), so the masks must be identical."""
+    from mesh_to_sdf_tpu.utils.meshgen import torus
+
+    cases = [
+        (make_icosphere(subdiv=2), (16, 16, 12)),
+        (torus(1.0, 0.35, n_major=24, n_minor=12), (12, 8, 16)),
+    ]
+    for (verts, faces), shape in cases:
+        ta, tb, tc = _soup(verts, faces)
+        grid = Grid.from_bounding_box([-1.6] * 3, [1.6] * 3, list(shape))
+        inside_d, ovf_d = pallas_parity.grid_inside_mask_pallas(
+            grid, ta, tb, tc, interpret=True
+        )
+        bins = tuple(
+            pallas_parity.build_line_bins(
+                grid, ax, np.asarray(ta), np.asarray(tb), np.asarray(tc)
+            )
+            for ax in range(3)
+        )
+        inside_b, ovf_b = pallas_parity.grid_inside_mask_pallas(
+            grid, ta, tb, tc, interpret=True, line_bins=bins
+        )
+        assert (np.asarray(inside_b) == np.asarray(inside_d)).all()
+        assert int(ovf_b) == 0 and int(ovf_d) == 0
+        # Sanity that the mask is non-trivial (mesh encloses volume).
+        assert np.asarray(inside_b).any()
+
+
+def test_binned_parity_overflow_still_detected():
+    """Depth complexity beyond K_DISTINCT inside one candidate block must
+    still surface as overflow (the caller's exact-resign trigger)."""
+    ta, tb, tc = _sheet_stack(12)
+    grid = Grid.from_bounding_box([0.0, -0.5, -0.5], [1.2, 0.5, 0.5],
+                                  [16, 4, 4])
+    bins = tuple(
+        pallas_parity.build_line_bins(
+            grid, ax, np.asarray(ta), np.asarray(tb), np.asarray(tc)
+        )
+        for ax in range(3)
+    )
+    _, ovf = pallas_parity.grid_inside_mask_pallas(
+        grid, ta, tb, tc, interpret=True, axes=1, line_bins=bins
+    )
+    assert int(ovf) > 0
