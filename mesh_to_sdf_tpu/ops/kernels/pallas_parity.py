@@ -245,6 +245,11 @@ def grid_inside_mask_pallas(grid, ta, tb, tc, *, k_distinct: int = K_DISTINCT,
         n = grid.cell_count[axis]
         iy, iz = (axis + 1) % 3, (axis + 2) % 3
         if line_bins is not None:
+            # 2× the bucket budget: Morton-sorted blocks concentrate
+            # parallel sheets (a fold region's triangles land in ONE
+            # block), and extraction is cheap here — a few candidate
+            # blocks per tile instead of every block. Overflow would
+            # trigger the caller's exact resign, which costs far more.
             counts, ovf = line_parity_counts_binned(
                 origins[:, iy],
                 origins[:, iz],
@@ -254,7 +259,7 @@ def grid_inside_mask_pallas(grid, ta, tb, tc, *, k_distinct: int = K_DISTINCT,
                 n_cells=n,
                 n1=lshape[0],
                 n2=lshape[1],
-                k_distinct=k_distinct,
+                k_distinct=2 * k_distinct,
                 interpret=interpret,
             )
         else:

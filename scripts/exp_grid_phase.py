@@ -67,6 +67,31 @@ for s2c in (False, True):
           f"(sweeps-only ~{t - t_seed:.3f}s)", flush=True)
 
 
+# Parity phase: dense vs binned kernels.
+from mesh_to_sdf_tpu.ops.kernels import pallas_parity
+
+bins3 = tuple(
+    pallas_parity.build_line_bins(grid, ax, np.asarray(ta), np.asarray(tb),
+                                  np.asarray(tc))
+    for ax in range(3)
+)
+nb_per_tile = [int(np.asarray(b.tbl.shape[1])) for b in bins3]
+used = [float(np.mean(np.asarray(b.tbl) != b.n_blocks)) for b in bins3]
+print(f"line bins: max_nb={nb_per_tile} used_frac={[round(u,3) for u in used]}",
+      flush=True)
+
+for name, lb in (("dense", None), ("binned", bins3)):
+    def run_parity(lb=lb):
+        inside, ovf = pallas_parity.grid_inside_mask_pallas(
+            grid, ta, tb, tc, line_bins=lb
+        )
+        float(jnp.sum(inside))
+        return inside
+
+    t = timeit(run_parity)
+    print(f"parity 3-axis {name}: {t:.3f}s", flush=True)
+
+
 def run_full():
     out = generate_grid_sdf(verts, topo, grid, SignMethod.RAYCAST)
     float(jnp.sum(out))

@@ -224,9 +224,13 @@ def test_binned_parity_matches_dense():
 
 
 def test_binned_parity_overflow_still_detected():
-    """Depth complexity beyond K_DISTINCT inside one candidate block must
-    still surface as overflow (the caller's exact-resign trigger)."""
-    ta, tb, tc = _sheet_stack(12)
+    """Depth complexity beyond the bucket budget inside one candidate block
+    must still surface as overflow (the caller's exact-resign trigger).
+    The binned path doubles K_DISTINCT (Morton sorting concentrates
+    parallel sheets into one block), so stack past 2·K."""
+    # Keep cell_size (0.075) below the 0.08 sheet spacing so every sheet
+    # lands in a distinct bucket; rays hit sheets beyond the grid too.
+    ta, tb, tc = _sheet_stack(2 * pallas_parity.K_DISTINCT + 4)
     grid = Grid.from_bounding_box([0.0, -0.5, -0.5], [1.2, 0.5, 0.5],
                                   [16, 4, 4])
     bins = tuple(
