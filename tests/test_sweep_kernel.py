@@ -201,6 +201,9 @@ def test_binned_parity_matches_dense():
     cases = [
         (make_icosphere(subdiv=2), (16, 16, 12)),
         (torus(1.0, 0.35, n_major=24, n_minor=12), (12, 8, 16)),
+        # Multi-tile transverse lattices (>32 lines per dim) exercise the
+        # 32×32 tile layout/unlayout transforms and real block culling.
+        (make_icosphere(subdiv=2), (40, 72, 33)),
     ]
     for (verts, faces), shape in cases:
         ta, tb, tc = _soup(verts, faces)
