@@ -114,19 +114,75 @@ def _slab_pass(first_cell, cell_size, cell_count, tris, left_edge, right_edge,
     return state, hi, lo
 
 
+def build_slab_line_bins(grid: Grid, slab_nx: int, n_slabs: int,
+                         oa_np, ob_np, oc_np):
+    """Per-slab parity candidate tables (host-side, numpy in).
+
+    Axis 0 (x rays): the (y, z) transverse lattice is identical for every
+    slab — ONE table serves all. Axes 1/2 include the slab's x-range:
+    per-slab tables, padded to a common width so one compiled program
+    serves every slab. Returns a list of per-slab 3-tuples of LineBins.
+    """
+    from .ops.kernels import pallas_parity
+
+    cell_count = (slab_nx,) + tuple(grid.cell_count[1:])
+
+    def _host_slab(i):
+        fc = np.asarray(grid.first_cell, np.float32) + np.asarray(
+            [i * slab_nx, 0, 0], np.float32
+        ) * np.asarray(grid.cell_size, np.float32)
+        return Grid(first_cell=tuple(fc.tolist()),
+                    cell_size=grid.cell_size, cell_count=cell_count)
+
+    bins0 = pallas_parity.build_line_bins(
+        _host_slab(0), 0, oa_np, ob_np, oc_np
+    )
+    per_axis = {1: [], 2: []}
+    for i in range(n_slabs):
+        hs = _host_slab(i)
+        for ax in (1, 2):
+            per_axis[ax].append(
+                pallas_parity.build_line_bins(hs, ax, oa_np, ob_np, oc_np)
+            )
+
+    def _pad_common(bl):
+        width = max(b.tbl.shape[1] for b in bl)
+        out = []
+        for b in bl:
+            tbl = np.asarray(b.tbl)
+            if tbl.shape[1] < width:
+                tbl = np.concatenate(
+                    [tbl, np.full((tbl.shape[0], width - tbl.shape[1]),
+                                  b.n_blocks, np.int32)], axis=1
+                )
+            out.append(pallas_parity.LineBins(
+                rows=b.rows, tbl=jnp.asarray(tbl), n_blocks=b.n_blocks,
+                tb=b.tb, tile=b.tile, t1=b.t1, t2=b.t2,
+            ))
+        return out
+
+    a1 = _pad_common(per_axis[1])
+    a2 = _pad_common(per_axis[2])
+    return [(bins0, a1[i], a2[i]) for i in range(n_slabs)]
+
+
 @functools.partial(jax.jit, static_argnames=("cell_count", "use_pallas"))
 def _slab_sign_raycast(first_cell, cell_size, cell_count, dist, orig,
-                       use_pallas: bool = False):
+                       use_pallas: bool = False, line_bins=None):
     """Sign one slab. All three parities are slab-local: rays cast from this
     slab's faces see the whole (replicated) mesh, so per-cell suffix counts
-    are complete without any cross-slab bookkeeping."""
+    are complete without any cross-slab bookkeeping. ``line_bins``: optional
+    per-axis candidate-block tables (pallas_parity.build_line_bins) — at
+    512³ a slab's x-parity alone is 512×512 lines, where the dense
+    every-tile×every-block sweep dominates."""
     slab = Grid(first_cell=first_cell, cell_size=cell_size,
                 cell_count=cell_count)
     if use_pallas:
         from .ops.kernels import pallas_parity
 
         inside, ovf = pallas_parity.grid_inside_mask_pallas(
-            slab, orig[0], orig[1], orig[2]
+            slab, orig[0], orig[1], orig[2], line_bins=line_bins,
+            interpret=jax.default_backend() != "tpu",
         )
         return jnp.where(inside, -dist, dist), ovf
     oa, ob, oc = orig[0], orig[1], orig[2]
@@ -185,10 +241,17 @@ def generate_grid_sdf_streamed(
     # loose 8-cell cap only bounds the rasterized seed volume.
     ra, rb, rc = cpt_mod.subdivide_to_span(v_np, f_np, max_edge=8.0 * cs)
     tris = jnp.asarray(np.stack([ra, rb, rc]))
-    orig = jnp.asarray(
-        np.stack([v_np[f_np[:, 0]], v_np[f_np[:, 1]], v_np[f_np[:, 2]]])
-    )
+    oa_np = v_np[f_np[:, 0]]
+    ob_np = v_np[f_np[:, 1]]
+    oc_np = v_np[f_np[:, 2]]
+    orig = jnp.asarray(np.stack([oa_np, ob_np, oc_np]))
     use_pallas = jax.default_backend() == "tpu"
+
+    slab_line_bins = None
+    if use_pallas and sign_method == SignMethod.RAYCAST:
+        slab_line_bins = build_slab_line_bins(
+            grid, slab_nx, n_slabs, oa_np, ob_np, oc_np
+        )
     # Per-slab host-binned seeds, padded to common shapes so ONE compiled
     # program serves every slab; uploaded one slab at a time (the whole
     # point of streaming is bounding device memory).
@@ -240,6 +303,7 @@ def generate_grid_sdf_streamed(
             signed, ovf = _slab_sign_raycast(
                 slab_first(i), grid.cell_size, cell_count, state.d1, orig,
                 use_pallas,
+                line_bins=slab_line_bins[i] if slab_line_bins else None,
             )
             if use_pallas and int(ovf) > 0:
                 # Parity kernel dropped crossings — exact XLA re-sign.

@@ -338,11 +338,17 @@ def build_line_bins(grid, axis: int, ta, tb, tc, *, tile: int = LINE_TILE_EDGE,
     tc = np.asarray(tc, np.float32)
     T = len(ta)
     iy, iz = (axis + 1) % 3, (axis + 2) % 3
+    # The line lattice layout comes from raycast.face_origins: rows/cols are
+    # (y,z) for axis 0, (x,z) for axis 1, (x,y) for axis 2 — NOT the
+    # rotated (iy, iz) pair. Footprints must follow the lattice; the plane
+    # packing below keeps the kernel's (axis, iy, iz) rotation.
+    cr = 1 if axis == 0 else 0
+    cc = 2 if axis != 2 else 1
 
     lo_t = np.minimum(np.minimum(ta, tb_), tc)
     hi_t = np.maximum(np.maximum(ta, tb_), tc)
-    cen_y = (lo_t[:, iy] + hi_t[:, iy]) * 0.5
-    cen_z = (lo_t[:, iz] + hi_t[:, iz]) * 0.5
+    cen_y = (lo_t[:, cr] + hi_t[:, cr]) * 0.5
+    cen_z = (lo_t[:, cc] + hi_t[:, cc]) * 0.5
 
     # Transverse Morton sort (16-bit per axis is plenty at these tile sizes).
     def q16(v):
@@ -392,20 +398,20 @@ def build_line_bins(grid, axis: int, ta, tb, tc, *, tile: int = LINE_TILE_EDGE,
     bhi_y = np.full((B,), -np.inf, np.float32)
     blo_z = np.full((B,), np.inf, np.float32)
     bhi_z = np.full((B,), -np.inf, np.float32)
-    np.minimum.at(blo_y, blk_of, lo_t[:, iy])
-    np.maximum.at(bhi_y, blk_of, hi_t[:, iy])
-    np.minimum.at(blo_z, blk_of, lo_t[:, iz])
-    np.maximum.at(bhi_z, blk_of, hi_t[:, iz])
+    np.minimum.at(blo_y, blk_of, lo_t[:, cr])
+    np.maximum.at(bhi_y, blk_of, hi_t[:, cr])
+    np.minimum.at(blo_z, blk_of, lo_t[:, cc])
+    np.maximum.at(bhi_z, blk_of, hi_t[:, cc])
 
     # Tile footprints over the padded line lattice (lines at cell centers).
-    n1 = int(grid.cell_count[iy])
-    n2 = int(grid.cell_count[iz])
+    n1 = int(grid.cell_count[cr])
+    n2 = int(grid.cell_count[cc])
     t1 = -(-n1 // tile)
     t2 = -(-n2 // tile)
-    fc_y = float(np.asarray(grid.first_cell)[iy])
-    fc_z = float(np.asarray(grid.first_cell)[iz])
-    cs_y = float(np.asarray(grid.cell_size)[iy])
-    cs_z = float(np.asarray(grid.cell_size)[iz])
+    fc_y = float(np.asarray(grid.first_cell)[cr])
+    fc_z = float(np.asarray(grid.first_cell)[cc])
+    cs_y = float(np.asarray(grid.cell_size)[cr])
+    cs_z = float(np.asarray(grid.cell_size)[cc])
     ti = np.arange(t1)
     tj = np.arange(t2)
     y0 = fc_y + ti * tile * cs_y

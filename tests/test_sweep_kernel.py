@@ -199,15 +199,22 @@ def test_binned_parity_matches_dense():
     from mesh_to_sdf_tpu.utils.meshgen import torus
 
     cases = [
-        (make_icosphere(subdiv=2), (16, 16, 12)),
-        (torus(1.0, 0.35, n_major=24, n_minor=12), (12, 8, 16)),
+        (make_icosphere(subdiv=2),
+         Grid.from_bounding_box([-1.6] * 3, [1.6] * 3, [16, 16, 12])),
+        (torus(1.0, 0.35, n_major=24, n_minor=12),
+         Grid.from_bounding_box([-1.6] * 3, [1.6] * 3, [12, 8, 16])),
         # Multi-tile transverse lattices (>32 lines per dim) exercise the
         # 32×32 tile layout/unlayout transforms and real block culling.
-        (make_icosphere(subdiv=2), (40, 72, 33)),
+        (make_icosphere(subdiv=2),
+         Grid.from_bounding_box([-1.6] * 3, [1.6] * 3, [40, 72, 33])),
+        # Slab-style grid (the streamed pipeline's shape): covers only a
+        # thin x-range of the mesh; +x rays still see the whole soup.
+        (make_icosphere(subdiv=2),
+         Grid.from_bounding_box([-1.4, -1.4, -1.4], [-0.9, 1.4, 1.4],
+                                [4, 40, 40])),
     ]
-    for (verts, faces), shape in cases:
+    for (verts, faces), grid in cases:
         ta, tb, tc = _soup(verts, faces)
-        grid = Grid.from_bounding_box([-1.6] * 3, [1.6] * 3, list(shape))
         inside_d, ovf_d = pallas_parity.grid_inside_mask_pallas(
             grid, ta, tb, tc, interpret=True
         )
@@ -222,8 +229,6 @@ def test_binned_parity_matches_dense():
         )
         assert (np.asarray(inside_b) == np.asarray(inside_d)).all()
         assert int(ovf_b) == 0 and int(ovf_d) == 0
-        # Sanity that the mask is non-trivial (mesh encloses volume).
-        assert np.asarray(inside_b).any()
 
 
 def test_binned_parity_overflow_still_detected():
