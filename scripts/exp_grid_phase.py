@@ -1,5 +1,6 @@
 """256^3 grid phase breakdown on TPU: seeds / sweeps / parity, and the
 slot2_center sweep-schedule comparison (r3)."""
+import os
 import sys
 import time
 
@@ -7,6 +8,10 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 import jax
+
+INTERP = os.environ.get("M2S_FORCE_CPU") == "1"  # smoke-test the script off-TPU
+if INTERP:
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from mesh_to_sdf_tpu import Grid, SignMethod, Topology, generate_grid_sdf
@@ -57,7 +62,7 @@ print(f"seed (device): {t_seed:.3f}s", flush=True)
 for s2c in (False, True):
     def run_sweeps(s2c=s2c):
         d, i = cpt_mod.closest_point_grid_pallas(
-            grid, ta, tb, tc, seed=seed, slot2_center=s2c
+            grid, ta, tb, tc, seed=seed, slot2_center=s2c, interpret=INTERP
         )
         float(jnp.sum(d))
         return d
@@ -83,7 +88,7 @@ print(f"line bins: max_nb={nb_per_tile} used_frac={[round(u,3) for u in used]}",
 for name, lb in (("dense", None), ("binned", bins3)):
     def run_parity(lb=lb):
         inside, ovf = pallas_parity.grid_inside_mask_pallas(
-            grid, ta, tb, tc, line_bins=lb
+            grid, ta, tb, tc, line_bins=lb, interpret=INTERP
         )
         float(jnp.sum(inside))
         return inside
