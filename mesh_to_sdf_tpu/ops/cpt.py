@@ -382,13 +382,13 @@ def build_slab_seed_bins(grid: Grid, n_slabs: int, ha, hb, hc, *,
     scatter (VERDICT r2 weak #3/#4). One compiled device program serves
     every slab because all slabs share the padded row count.
 
-    numpy in / numpy out. ``grid.cell_count[0]`` must divide ``n_slabs``.
+    numpy in / numpy out. ``n_slabs`` must divide ``grid.cell_count[0]``.
     """
     import numpy as np
 
     nx, ny, nz = grid.cell_count
     if nx % n_slabs:
-        raise ValueError(f"nx={nx} must divide n_slabs={n_slabs}")
+        raise ValueError(f"n_slabs={n_slabs} must divide nx={nx}")
     slab_nx = nx // n_slabs
     fc = np.asarray(grid.first_cell, np.float32)
     cs = np.asarray(grid.cell_size, np.float32)

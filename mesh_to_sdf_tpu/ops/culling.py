@@ -66,7 +66,10 @@ _ROUTE_CACHE: dict = {}
 
 
 def _route_key(bi, Q: int):
-    return (bi.n_blocks, bi.tb, max(int(Q) - 1, 1).bit_length())
+    # content_key distinguishes meshes with equal block structure so one
+    # mesh's measured routing never silently applies to another.
+    return (bi.n_blocks, bi.tb, getattr(bi, "content_key", 0),
+            max(int(Q) - 1, 1).bit_length())
 
 
 def _route_to_brute(bi, Q: int) -> bool:

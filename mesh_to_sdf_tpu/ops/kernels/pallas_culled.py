@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 import os
+import zlib
 from dataclasses import dataclass
 
 import jax
@@ -91,6 +92,9 @@ class BlockIndex:
     hi: object
     n_blocks: int
     tb: int
+    #: Cheap mesh-content hash (adler32 of the block AABBs) — distinguishes
+    #: meshes with equal block counts in host-side caches (route cache).
+    content_key: int = 0
 
 
 def build_block_index(ta, tb, tc, *, block: int = TB) -> BlockIndex:
@@ -174,6 +178,7 @@ def build_block_index(ta, tb, tc, *, block: int = TB) -> BlockIndex:
         hi=jnp.asarray(hi_b),
         n_blocks=B,
         tb=block,
+        content_key=zlib.adler32(lo_b.tobytes() + hi_b.tobytes()),
     )
 
 
@@ -267,9 +272,11 @@ def select_blocks(q_pad, bi: BlockIndex, *, nb_sub: int = DEFAULT_NB_SUB,
     idx = jnp.where(keep, idx, B)
 
     # Tile union: collect sub-tile selections, sort, dedup → pad id B.
-    # Distinct slots beyond ``nb_table`` are truncated (SMEM bound): the
-    # dropped blocks join the excluded set, so the per-query certificate
-    # (computed from the FINAL table) keeps the result exact-or-flagged.
+    # Distinct slots beyond ``nb_table`` are truncated (SMEM bound). The
+    # table is sorted by BLOCK INDEX, so truncation keeps the lowest-indexed
+    # blocks, not the nearest ones; exactness still holds because the
+    # per-query certificate is computed from the FINAL table (dropped blocks
+    # join the excluded set), but overflow tiles may flood the flag path.
     ids = idx.reshape(n_qt, spt * k_sel)
     ids = jnp.sort(ids, axis=1)
     dup = jnp.concatenate(
@@ -439,9 +446,12 @@ def culled_dist_pallas(queries_sorted, bi: BlockIndex, tbl, *,
 
 jax.tree_util.register_pytree_node(
     BlockIndex,
-    lambda b: ((b.rows, b.planes9, b.lo, b.hi), (b.n_blocks, b.tb)),
+    lambda b: (
+        (b.rows, b.planes9, b.lo, b.hi),
+        (b.n_blocks, b.tb, b.content_key),
+    ),
     lambda aux, ch: BlockIndex(
         rows=ch[0], planes9=ch[1], lo=ch[2], hi=ch[3],
-        n_blocks=aux[0], tb=aux[1]
+        n_blocks=aux[0], tb=aux[1], content_key=aux[2]
     ),
 )

@@ -246,7 +246,14 @@ def generate_sdf_sharded_culled(
     nb_sub = nb_sub or pallas_culled.DEFAULT_NB_SUB
     nb_table = nb_table or pallas_culled.DEFAULT_NB_TABLE
     Qpad = pad_for_axis(max(Q, 1), mesh, CELL_AXIS, qt)
-    q_np = np.concatenate([q_np, np.zeros((Qpad - Q, 3), np.float32)])
+    # Edge-pad (repeat the last real query), NOT zeros: origin-point padding
+    # would join Morton sub-tiles, inflate their radii and loosen every
+    # certificate sharing a sub-tile (same hazard _culled_blocks_impl fixed).
+    if Q > 0:
+        fill = np.repeat(q_np[-1:], Qpad - Q, axis=0)
+    else:
+        fill = np.zeros((Qpad, 3), np.float32)
+    q_np = np.concatenate([q_np, fill])
 
     @functools.partial(
         jax.shard_map,

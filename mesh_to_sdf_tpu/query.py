@@ -227,6 +227,11 @@ def generate_sdf(
             # batches keep the per-query sweep (the builds wouldn't
             # amortize).
             sign_grid = _sign_grid_cached(ta, tb, tc, valid, n_tris)
+            # Exact tile-binned parity tables (cached per mesh): used as the
+            # whole-batch sign pass for small batches (≤ PARITY_ALL_MAX) and
+            # as the near-shell fallback of the sign-grid transfer otherwise
+            # (culling.query_sdf_culled / signs_from_grid).
+            parity_bins = _parity_bins_cached(ta, tb, tc, n_tris)
             if jax.default_backend() == "tpu":
                 # Morton block index (≙ R-tree bulk_load) feeding the
                 # scalar-prefetch distance kernel.

@@ -168,6 +168,34 @@ def estimate_normal(dist, grid: Grid, p, iso=0.0,
     return n / jnp.where(norm == 0.0, 1.0, norm)
 
 
+def _phong_stylized(dist, grid: Grid, pos, eye, iso,
+                    k_d=0.8, k_s=0.5, alpha=50.0,
+                    light_pos=(-5.0, 5.0, 5.0),
+                    light_intensity=(0.4, 1.0, 0.4)):
+    """`phong_lighting` (`draw_raymarching.wgsl:211-231`), branchless: the
+    shader's early returns become a where-ladder (light-behind-surface →
+    2% ambient; reflection away from viewer → diffuse only)."""
+    li = jnp.asarray(light_intensity, jnp.float32)
+    n = estimate_normal(dist, grid, pos, iso, RaymarchMode.SNAP_STYLIZED)
+    l_dir = jnp.asarray(light_pos, jnp.float32) - pos
+    l_dir = l_dir / jnp.linalg.norm(l_dir, axis=-1, keepdims=True)
+    v = eye - pos
+    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # reflect(-L, N) = -L - 2*dot(-L, N)*N = 2*dot(L,N)*N - L.
+    dot_ln = jnp.sum(l_dir * n, axis=-1)
+    r = 2.0 * dot_ln[..., None] * n - l_dir
+    r = r / jnp.where(
+        (rn := jnp.linalg.norm(r, axis=-1, keepdims=True)) == 0.0, 1.0, rn
+    )
+    dot_rv = jnp.sum(r * v, axis=-1)
+    full = k_d * dot_ln + k_s * jnp.power(jnp.maximum(dot_rv, 0.0), alpha)
+    strength = jnp.where(
+        dot_ln < 0.0, 0.02,
+        jnp.where(dot_rv < 0.0, k_d * dot_ln, full),
+    )
+    return li * strength[..., None]
+
+
 @functools.partial(
     jax.jit, static_argnames=("camera", "mode", "max_steps", "shadows")
 )
@@ -198,6 +226,17 @@ def render(
     """
     origins, directions = camera.rays()
     pos, d, hit = trace(dist, grid, origins, directions, iso, mode, max_steps)
+
+    if mode == RaymarchMode.SNAP_STYLIZED:
+        # Stylized branch (`draw_raymarching.wgsl:302-306`): fixed-light
+        # green Phong with NO material mapping, shadows, or attenuation —
+        # the snap grid's stepped gradient degenerates normals, so the
+        # client shades this mode with phong_lighting(0.8, 0.5, 50,
+        # light=(-5,5,5), intensity=(0.4,1.0,0.4)) (`wgsl:211-231`).
+        shaded = _phong_stylized(dist, grid, pos,
+                                 jnp.asarray(camera.eye, jnp.float32), iso)
+        bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), pos.shape)
+        return jnp.where(hit[..., None], jnp.clip(shaded, 0.0, 1.0), bg)
 
     if light_pos is None:
         bmin, bmax = grid.bounding_box()

@@ -71,6 +71,31 @@ def test_suzanne_query_vs_numpy_oracle(rng):
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_suzanne_reference_ground_truth_anchor():
+    """Anchor to values the REFERENCE itself computed and committed
+    (`generate/generic/default.rs:99-108`): suzanne at query points
+    (0,0,0) / (1,1,1) / (0.1,0.2,0.2) with SignMethod::Normal must land
+    within 0.1 of the pysdf-derived triple [-0.42, 0.69, -0.46] (negative
+    = inside, the crate's convention). This is the one test whose expected
+    numbers were produced OUTSIDE this repo — it fails if our sign
+    convention or distance magnitude ever drifts from the reference's own
+    committed ground truth. (For the record, the crate computes
+    [-0.40961263, 0.6929414, -0.46345082]; we match those to ~5e-3.)"""
+    verts, faces = load("suzanne")
+    topo = Topology.triangle_list(faces.reshape(-1))
+    q = np.array([[0, 0, 0], [1, 1, 1], [0.1, 0.2, 0.2]], np.float32)
+    baseline = np.array([-0.42, 0.69, -0.46])
+    for strat in (Strategy.XLA, Strategy.PALLAS):
+        got = np.asarray(
+            m.generate_sdf(verts, topo, q, strat,
+                           sign_method=SignMethod.NORMAL)
+        )
+        assert np.all(np.abs(got - baseline) < 0.1), (strat, got)
+        # Tighter: match the crate's own reported output to 1e-2.
+        crate = np.array([-0.40961263, 0.6929414, -0.46345082])
+        assert np.all(np.abs(got - crate) < 1e-2), (strat, got)
+
+
 def test_knight_culled_matches_xla(rng):
     """CULLED (the analog of the reference's Rtree/RtreeBvh best backend) must
     agree with the exact engine on knight (11,184 tris — above the culling

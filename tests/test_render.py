@@ -108,6 +108,34 @@ def test_render_image(sphere_grid):
     assert u8.dtype == np.uint8 and u8.max() <= 255
 
 
+def test_render_snap_stylized_differs_from_snap(sphere_grid):
+    """SNAP_STYLIZED is a distinct SHADING mode, not a sampler alias
+    (`draw_raymarching.wgsl:302-306`): fixed light at (-5,5,5), green
+    intensity (0.4,1.0,0.4), classic Phong, no shadows/attenuation. The
+    image must differ from SNAP and carry the green dominance."""
+    g, d = sphere_grid
+    cam = Camera.orbit(g, width=64, height=64)
+    snap = np.asarray(
+        render(jnp.asarray(d), g, cam, mode=RaymarchMode.SNAP)
+    )
+    styl = np.asarray(
+        render(jnp.asarray(d), g, cam, mode=RaymarchMode.SNAP_STYLIZED)
+    )
+    assert styl.shape == snap.shape
+    # Most stylized surface pixels are black — the snap grid's stepped
+    # gradient degenerates normals to 0 (the very artifact the wgsl comment
+    # describes); only cells where the central difference survives light up.
+    hit = styl.sum(-1) > 0
+    assert hit.mean() > 0.003
+    # Same silhouette (same sampler + trace), different shading.
+    assert np.abs(styl - snap).max() > 0.05
+    # Green channel dominates on lit surface pixels (intensity 0.4,1.0,0.4).
+    lit = styl[hit]
+    assert (lit[:, 1] >= lit[:, 0] - 1e-6).all()
+    assert (lit[:, 1] >= lit[:, 2] - 1e-6).all()
+    assert lit[:, 1].mean() > lit[:, 0].mean() + 0.01
+
+
 def test_ordered_indices_and_band(sphere_grid):
     g, d = sphere_grid
     order, sd = ordered_indices(jnp.asarray(d))
