@@ -35,13 +35,49 @@ ASSETS = "/root/reference/mesh_to_sdf/assets"
 
 
 def _timeit(fn, repeats):
+    """Sampled timing (VERDICT r3 #9: n/median/spread, not min-of-2).
+
+    Returns the MEDIAN wall time; the per-sample spread is recorded in
+    module-level ``TIMING_STATS`` (keyed by the current workload, see
+    ``_stats_scope``) and surfaced in the bench JSON so a single jittery
+    dispatch on the shared tunnel cannot make the headline number.
+    """
     fn()  # compile + warmup
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
-    return min(times)
+    ts = sorted(times)
+    med = ts[len(ts) // 2] if len(ts) % 2 else 0.5 * (
+        ts[len(ts) // 2 - 1] + ts[len(ts) // 2]
+    )
+    if _STATS_KEY[0] is not None:
+        TIMING_STATS[_STATS_KEY[0]] = {
+            "n": len(ts),
+            "median_s": round(med, 4),
+            "min_s": round(ts[0], 4),
+            "max_s": round(ts[-1], 4),
+        }
+    return med
+
+
+#: Per-workload timing spread, keyed by workload name (filled by _timeit).
+TIMING_STATS = {}
+_STATS_KEY = [None]
+
+
+class _stats_scope:
+    """Route _timeit spread recording to TIMING_STATS[name] while active."""
+
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        _STATS_KEY[0] = self.name
+
+    def __exit__(self, *exc):
+        _STATS_KEY[0] = None
 
 
 def _query_grid(verts, cell_radius, scale=1.0):
@@ -85,14 +121,35 @@ def main():
     inside = float((np.asarray(out) < 0).mean())
     assert 0.37 < inside < 0.42, f"bad sign fraction {inside}"
 
-    best = _timeit(run, 2 if quick else 3)
-    cells_per_s = n**3 / best
+    with _stats_scope("primary_grid"):
+        med = _timeit(run, 3 if quick else 5)
+    cells_per_s = n**3 / med
 
     extra = {}
 
+    # Roofline accounting (VERDICT r3 weak #4): count the work actually
+    # scheduled — seed pairs from the cached gather lists, sweep evals/cell,
+    # binned parity pairs from the candidate tables — and judge the wall
+    # time against TPU v5e VPU-fp32 / HBM peaks (utils/roofline.py).
+    try:
+        from mesh_to_sdf_tpu import gridgen
+        from mesh_to_sdf_tpu.ops import cpt as cpt_mod
+        from mesh_to_sdf_tpu.utils import roofline
+
+        prep = list(gridgen._CPT_PREP_CACHE.values())[-1]
+        _, seed_bins, line_bins = prep
+        model = roofline.grid_total_flops(
+            n**3, seed_bins, line_bins,
+            slot2_center=cpt_mod.SLOT2_CENTER,
+        )
+        extra["roofline_primary_grid"] = roofline.account(med, **model)
+    except Exception as e:  # noqa: BLE001
+        extra["roofline_primary_grid"] = f"error: {type(e).__name__}: {e}"
+
     def guarded(name, fn):
         try:
-            extra[name] = fn()
+            with _stats_scope(name):
+                extra[name] = fn()
         except Exception as e:  # noqa: BLE001 — record, never kill the bench
             extra[name] = f"error: {type(e).__name__}: {e}"
 
@@ -113,133 +170,60 @@ def main():
                              sign_method=SignMethod.RAYCAST)
             float(jax.numpy.sum(d))
 
-        t = _timeit(f, 2)
-        return round(len(q) / t, 1)
+        t = _timeit(f, 3)
+        from mesh_to_sdf_tpu.utils import roofline
 
-    if not quick:
-        guarded("queries_per_s_1M_20k_pallas", q_1m)
+        m = roofline.pairs_query_flops(len(q), len(faces), raycast_axes=3,
+                                       chunk=1024, block=1024)
+        return {"queries_per_s": round(len(q) / t, 1),
+                "roofline": roofline.account(t, m["flops"], m["hbm_bytes"])}
 
-    if os.path.isdir(ASSETS) and not quick:
-        # Reference criterion: knight.glb, query grid at cell_radius 0.01
-        # (`generate_sdf.rs:12-58`) — ~30k queries × 11,184 tris.
-        def knight_queries():
-            kv, kf = load("knight")
-            ktopo = Topology.triangle_list(kf.reshape(-1))
-            # criterion's cell_radius=0.01 is in easy-gltf's untransformed
-            # primitive units and yields ~34k query points; our loader
-            # applies node transforms, so reproduce the COUNT: pick the
-            # cell radius that tiles the merged bbox into ~32k cells.
-            ext = (kv.max(0) - kv.min(0)).astype(np.float64)
-            cell_radius = float((ext.prod() / 32_768) ** (1.0 / 3.0)) / 2.0
-            q = _query_grid(kv, cell_radius)
-            def f():
-                d = generate_sdf(kv, ktopo, q, Strategy.PALLAS,
-                                 sign_method=SignMethod.RAYCAST)
-                float(jax.numpy.sum(d))
-            t = _timeit(f, 2)
-            return {"queries": int(len(q)), "queries_per_s": round(len(q) / t, 1)}
+    # Out-of-core streamed pipeline at 512^3 (BASELINE config-5 scale on
+    # ONE chip): x-slabs through the binned-seed + Pallas-sweep engine
+    # (gridgen_streamed.py). Done-bar (VERDICT r2 #2): >= the single-
+    # chip 256^3 cells/s rate. Needs no reference assets (VERDICT r3 #9).
+    def streamed_512():
+        from mesh_to_sdf_tpu.gridgen_streamed import (
+            generate_grid_sdf_streamed,
+        )
 
-        guarded("knight_query_grid_r0.01_pallas", knight_queries)
+        g512 = Grid.from_bounding_box([-1.1] * 3, [1.1] * 3, [512] * 3)
 
-        # Reference criterion big_big: FlightHelmet merged (94,722 tris),
-        # query grid at cell_radius 0.01 over the bbox — the crate's literal
-        # workload (`generate_sdf.rs:216-236`). CULLED ≙ Rtree/RtreeBvh.
-        def helmet_query_grid():
-            hv, hf = load("FlightHelmet")
-            htopo = Topology.triangle_list(hf.reshape(-1))
-            q = _query_grid(hv, 0.01)
-            def f():
-                d = generate_sdf(hv, htopo, q, Strategy.CULLED,
-                                 sign_method=SignMethod.RAYCAST)
-                float(jax.numpy.sum(d))
-            t = _timeit(f, 2)
-            qps = len(q) / t
-            return {
-                "tris": int(len(hf)),
-                "queries": int(len(q)),
-                "queries_per_s": round(qps, 1),
-                "vs_rtree_bvh_1core": round(qps / BASELINE_QUERIES_PER_S, 2),
-            }
-
-        guarded("flighthelmet_query_grid_culled", helmet_query_grid)
-
-        # Worst case for tile culling: 1M uniformly scattered queries.
-        def helmet_scattered():
-            hv, hf = load("FlightHelmet")
-            htopo = Topology.triangle_list(hf.reshape(-1))
-            rng = np.random.default_rng(1)
-            lo, hi = hv.min(0), hv.max(0)
-            c, half = (lo + hi) / 2, (hi - lo) * 0.65
-            q = (c + rng.uniform(-1, 1, (1_000_000, 3)) * half).astype(
-                np.float32
+        def f():
+            out = generate_grid_sdf_streamed(
+                verts, faces, g512, SignMethod.RAYCAST
             )
-            def f():
-                d = generate_sdf(hv, htopo, q, Strategy.CULLED,
-                                 sign_method=SignMethod.RAYCAST)
-                float(jax.numpy.sum(d))
-            t = _timeit(f, 2)
-            qps = len(q) / t
-            return {
-                "queries_per_s": round(qps, 1),
-                "vs_rtree_bvh_1core": round(qps / BASELINE_QUERIES_PER_S, 2),
-            }
+            return out
 
-        guarded("flighthelmet_1M_scattered_culled", helmet_scattered)
+        out = f()  # compile + warm (one program serves every slab)
+        inside = float((out < 0).mean())
+        assert 0.37 < inside < 0.42, f"bad sign fraction {inside}"
+        t0 = time.perf_counter()
+        f()
+        t = time.perf_counter() - t0
+        return {"cells_per_s": round(512**3 / t, 1), "seconds": round(t, 2)}
 
-        # Reference criterion: knight grid at 100^3 raycast
-        # (`generate_grid_sdf.rs:68-96`).
-        def knight_grid():
-            kv, kf = load("knight")
-            ktopo = Topology.triangle_list(kf.reshape(-1))
-            lo, hi = kv.min(0), kv.max(0)
-            pad = 0.05 * (hi - lo)
-            g = Grid.from_bounding_box(lo - pad, hi + pad, [100, 100, 100])
-            def f():
-                d = generate_grid_sdf(kv, ktopo, g, SignMethod.RAYCAST)
-                float(jax.numpy.sum(d))
-            t = _timeit(f, 2)
-            return {"cells_per_s": round(100**3 / t, 1)}
+    # MEASURED single-core baseline (native/baseline_rtree_bvh.cpp — the
+    # reference's RtreeBvh backend + 3-phase grid generator in C++, one
+    # core): turns every "vs reference" multiplier into a measurement
+    # (VERDICT r2 #4). Checksums are cross-validated against our exact
+    # engines in tests/test_native_baseline.py. Only the knight/helmet
+    # sub-workloads need the reference assets; the primary-workload
+    # baseline always runs (VERDICT r3 #9).
+    def measured_baseline():
+        from mesh_to_sdf_tpu.utils import baseline as bl
 
-        guarded("knight_grid_100^3_raycast", knight_grid)
+        if not bl.available(build=True):
+            return "binary unavailable"
+        out = {}
 
-        # Out-of-core streamed pipeline at 512^3 (BASELINE config-5 scale on
-        # ONE chip): x-slabs through the binned-seed + Pallas-sweep engine
-        # (gridgen_streamed.py). Done-bar (VERDICT r2 #2): >= the single-
-        # chip 256^3 cells/s rate.
-        def streamed_512():
-            from mesh_to_sdf_tpu.gridgen_streamed import (
-                generate_grid_sdf_streamed,
-            )
+        # Primary workload mesh at the bench resolution.
+        p_tri = (verts[faces[:, 0]], verts[faces[:, 1]],
+                 verts[faces[:, 2]])
+        r = bl.run_grid(*p_tri, grid)
+        out[f"grid_{n}^3_cells_per_s_1core"] = r["cells_per_s"]
 
-            g512 = Grid.from_bounding_box([-1.1] * 3, [1.1] * 3, [512] * 3)
-
-            def f():
-                out = generate_grid_sdf_streamed(
-                    verts, faces, g512, SignMethod.RAYCAST
-                )
-                return out
-
-            out = f()  # compile + warm (one program serves every slab)
-            inside = float((out < 0).mean())
-            assert 0.37 < inside < 0.42, f"bad sign fraction {inside}"
-            t0 = time.perf_counter()
-            f()
-            t = time.perf_counter() - t0
-            return {"cells_per_s": round(512**3 / t, 1), "seconds": round(t, 2)}
-
-        guarded("streamed_grid_512^3_raycast", streamed_512)
-
-        # MEASURED single-core baseline (native/baseline_rtree_bvh.cpp — the
-        # reference's RtreeBvh backend + 3-phase grid generator in C++, one
-        # core): turns every "vs reference" multiplier into a measurement
-        # (VERDICT r2 #4). Checksums are cross-validated against our exact
-        # engines in tests/test_native_baseline.py.
-        def measured_baseline():
-            from mesh_to_sdf_tpu.utils import baseline as bl
-
-            if not bl.available(build=True):
-                return "binary unavailable"
-            out = {}
+        if os.path.isdir(ASSETS):
             hv, hf = load("FlightHelmet")
             h_tri = (hv[hf[:, 0]], hv[hf[:, 1]], hv[hf[:, 2]])
 
@@ -270,16 +254,110 @@ def main():
             g100 = Grid.from_bounding_box(lo - pad, hi + pad, [100] * 3)
             r = bl.run_grid(*k_tri, g100)
             out["knight_grid_100^3_cells_per_s_1core"] = r["cells_per_s"]
+        return out
 
-            # Primary workload mesh at the bench resolution.
-            p_tri = (verts[faces[:, 0]], verts[faces[:, 1]],
-                     verts[faces[:, 2]])
-            r = bl.run_grid(*p_tri, grid)
-            out[f"grid_{n}^3_cells_per_s_1core"] = r["cells_per_s"]
-            return out
-
+    if not quick:
+        guarded("queries_per_s_1M_20k_pallas", q_1m)
+        guarded("streamed_grid_512^3_raycast", streamed_512)
         guarded("baseline_1core_measured", measured_baseline)
 
+    if os.path.isdir(ASSETS) and not quick:
+        # Reference criterion: knight.glb, query grid at cell_radius 0.01
+        # (`generate_sdf.rs:12-58`) — ~30k queries × 11,184 tris.
+        def knight_queries():
+            kv, kf = load("knight")
+            ktopo = Topology.triangle_list(kf.reshape(-1))
+            # criterion's cell_radius=0.01 is in easy-gltf's untransformed
+            # primitive units and yields ~34k query points; our loader
+            # applies node transforms, so reproduce the COUNT: pick the
+            # cell radius that tiles the merged bbox into ~32k cells.
+            ext = (kv.max(0) - kv.min(0)).astype(np.float64)
+            cell_radius = float((ext.prod() / 32_768) ** (1.0 / 3.0)) / 2.0
+            q = _query_grid(kv, cell_radius)
+            def f():
+                d = generate_sdf(kv, ktopo, q, Strategy.PALLAS,
+                                 sign_method=SignMethod.RAYCAST)
+                float(jax.numpy.sum(d))
+            t = _timeit(f, 3)
+            from mesh_to_sdf_tpu.utils import roofline
+
+            m = roofline.pairs_query_flops(len(q), len(kf), raycast_axes=3,
+                                           chunk=1024, block=1024)
+            return {"queries": int(len(q)),
+                    "queries_per_s": round(len(q) / t, 1),
+                    "roofline": roofline.account(t, m["flops"],
+                                                 m["hbm_bytes"])}
+
+        guarded("knight_query_grid_r0.01_pallas", knight_queries)
+
+        # Reference criterion big_big: FlightHelmet merged (94,722 tris),
+        # query grid at cell_radius 0.01 over the bbox — the crate's literal
+        # workload (`generate_sdf.rs:216-236`). CULLED ≙ Rtree/RtreeBvh.
+        def helmet_query_grid():
+            hv, hf = load("FlightHelmet")
+            htopo = Topology.triangle_list(hf.reshape(-1))
+            q = _query_grid(hv, 0.01)
+            def f():
+                d = generate_sdf(hv, htopo, q, Strategy.CULLED,
+                                 sign_method=SignMethod.RAYCAST)
+                float(jax.numpy.sum(d))
+            t = _timeit(f, 3)
+            qps = len(q) / t
+            return {
+                "tris": int(len(hf)),
+                "queries": int(len(q)),
+                "queries_per_s": round(qps, 1),
+                "vs_rtree_bvh_1core": round(qps / BASELINE_QUERIES_PER_S, 2),
+                # CULLED does data-dependent work; report the dense-pair
+                # rate an uncropped sweep would need to match this time.
+                "effective_dense_pairs_per_s": round(
+                    len(q) * len(hf) / t, 1),
+            }
+
+        guarded("flighthelmet_query_grid_culled", helmet_query_grid)
+
+        # Worst case for tile culling: 1M uniformly scattered queries.
+        def helmet_scattered():
+            hv, hf = load("FlightHelmet")
+            htopo = Topology.triangle_list(hf.reshape(-1))
+            rng = np.random.default_rng(1)
+            lo, hi = hv.min(0), hv.max(0)
+            c, half = (lo + hi) / 2, (hi - lo) * 0.65
+            q = (c + rng.uniform(-1, 1, (1_000_000, 3)) * half).astype(
+                np.float32
+            )
+            def f():
+                d = generate_sdf(hv, htopo, q, Strategy.CULLED,
+                                 sign_method=SignMethod.RAYCAST)
+                float(jax.numpy.sum(d))
+            t = _timeit(f, 3)
+            qps = len(q) / t
+            return {
+                "queries_per_s": round(qps, 1),
+                "vs_rtree_bvh_1core": round(qps / BASELINE_QUERIES_PER_S, 2),
+                "effective_dense_pairs_per_s": round(
+                    len(q) * len(hf) / t, 1),
+            }
+
+        guarded("flighthelmet_1M_scattered_culled", helmet_scattered)
+
+        # Reference criterion: knight grid at 100^3 raycast
+        # (`generate_grid_sdf.rs:68-96`).
+        def knight_grid():
+            kv, kf = load("knight")
+            ktopo = Topology.triangle_list(kf.reshape(-1))
+            lo, hi = kv.min(0), kv.max(0)
+            pad = 0.05 * (hi - lo)
+            g = Grid.from_bounding_box(lo - pad, hi + pad, [100, 100, 100])
+            def f():
+                d = generate_grid_sdf(kv, ktopo, g, SignMethod.RAYCAST)
+                float(jax.numpy.sum(d))
+            t = _timeit(f, 3)
+            return {"cells_per_s": round(100**3 / t, 1)}
+
+        guarded("knight_grid_100^3_raycast", knight_grid)
+
+    if not quick:
         # Re-state the headline multipliers against the MEASURED 1-core
         # baseline where both sides ran the same workload.
         bl_m = extra.get("baseline_1core_measured")
@@ -312,6 +390,9 @@ def main():
             extra["vs_1core_grid_measured"] = round(
                 cells_per_s / bl_m[f"grid_{n}^3_cells_per_s_1core"], 2
             )
+
+    if TIMING_STATS:
+        extra["timing_stats"] = TIMING_STATS
 
     print(
         json.dumps(

@@ -1,0 +1,162 @@
+"""Roofline / MFU accounting for the bench workloads (VERDICT r3 weak #4).
+
+Every headline rate needs a denominator: this module carries the chip peak
+numbers and per-kernel flop/byte models so bench.py can report achieved
+GFLOP/s, %-of-VPU-fp32-peak, achieved GB/s, %-of-HBM-peak, and which
+resource bounds each phase.
+
+Peaks are the PUBLIC TPU v5e ("v5 lite") specs — the chip the axon tunnel
+exposes (``jax.devices() -> [TPU v5 lite]``):
+
+* MXU peak 197 TFLOP/s bf16 (4 MXUs x 128x128 MACs x 2 flops x ~1.5 GHz).
+  Unused by this framework's hot path — closest-point/parity geometry is
+  elementwise, so the VPU is the compute roof.
+* VPU fp32 peak ~= 6.1 TFLOP/s (8x128 lanes x 4 ALUs x ~1.5 GHz). This
+  counts one flop per ALU op; FMA-heavy code could nominally double it, so
+  %-of-peak figures here are conservative (pessimistic) bounds.
+* HBM bandwidth 819 GB/s (16 GB HBM2E).
+
+Flop models (documented estimates, derived from the kernel structure):
+
+* Closest-point Embree ladder (`ops/geometry.py::point_triangle_distance`,
+  region ladder of `geo.rs:70-138`): ~80 VPU flops per (point, triangle)
+  pair — 3 edge vectors + 6 dots for the barycentric tests, 3 segment
+  projections kept live by the branchless where-ladder, final delta+norm.
+* Aligned ray-triangle parity test (`ops/geometry.py::ray_triangle_aligned`
+  ≙ `geo.rs:156-216`): 2-D edge cross products + sign agreement + ray-side
+  test, ~30 flops per (line, triangle) pair per axis; the binned parity
+  kernel adds ~10 flops/pair of bucket-extraction arithmetic.
+* CPT sweep (`ops/kernels/pallas_sweep.py`): per cell per directional
+  sweep, 2 carried + 9 slot-1 + {9 full | 1 slot2_center} slot-2 candidate
+  evaluations, each one ladder eval, plus the top-2-distinct keyed merge
+  (~8 flops/candidate).
+
+Byte models count HBM traffic only (VMEM-resident reuse is free):
+
+* CPT sweep state = d1(4) + v1(36) + i1(4) + d2(4) + v2(36) + i2(4)
+  = 88 B/cell, read + written once per directional sweep (the Pallas
+  kernel holds the carry slice in VMEM; ops/cpt.py:871-880).
+* Seed evaluation reads/writes the (9, K, R) gathered payload once each
+  way (ops/cpt.py:434-470).
+"""
+from __future__ import annotations
+
+#: TPU v5e public peaks (see module docstring).
+VPU_FP32_PEAK_FLOPS = 6.1e12
+MXU_BF16_PEAK_FLOPS = 1.97e14
+HBM_PEAK_BYTES_PER_S = 8.19e11
+
+#: Per-pair flop estimates (see module docstring).
+FLOPS_LADDER_PAIR = 80.0
+FLOPS_RAY_PAIR = 30.0
+FLOPS_RAY_PAIR_BINNED = 40.0
+FLOPS_MERGE_CAND = 8.0
+
+
+def account(seconds: float, flops: float = 0.0, hbm_bytes: float = 0.0,
+            peak_flops: float = VPU_FP32_PEAK_FLOPS) -> dict:
+    """Roofline summary for one timed region.
+
+    ``bound`` names the limiting resource under the model: whichever of
+    compute-time-at-peak vs HBM-time-at-peak is larger. When BOTH are a
+    small fraction of the wall time (< 30%), the region is dominated by
+    neither — dispatch latency / sequential dependency chains — and is
+    labeled ``latency``.
+    """
+    out: dict = {"seconds": round(seconds, 4)}
+    t_flops = flops / peak_flops if flops else 0.0
+    t_bytes = hbm_bytes / HBM_PEAK_BYTES_PER_S if hbm_bytes else 0.0
+    if flops:
+        out["achieved_gflops"] = round(flops / seconds / 1e9, 1)
+        out["pct_vpu_fp32_peak"] = round(100.0 * t_flops / seconds, 1)
+    if hbm_bytes:
+        out["achieved_gbps"] = round(hbm_bytes / seconds / 1e9, 1)
+        out["pct_hbm_peak"] = round(100.0 * t_bytes / seconds, 1)
+    if flops or hbm_bytes:
+        frac = max(t_flops, t_bytes) / seconds
+        if frac < 0.30:
+            out["bound"] = "latency"
+        else:
+            out["bound"] = "compute" if t_flops >= t_bytes else "bandwidth"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Workload models
+# ---------------------------------------------------------------------------
+
+def pairs_query_flops(n_queries: int, n_tris: int, raycast_axes: int = 3,
+                      chunk: int = 2048, block: int = 512) -> dict:
+    """Brute/PALLAS query kernel: every (query, triangle) pair runs the
+    ladder plus ``raycast_axes`` aligned ray tests (ops/brute.py,
+    ops/kernels/pallas_sdf.py). HBM traffic: triangles re-read once per
+    query chunk; queries and outputs once."""
+    q_pad = -(-n_queries // chunk) * chunk
+    t_pad = -(-n_tris // block) * block
+    pairs = float(q_pad) * t_pad
+    flops = pairs * (FLOPS_LADDER_PAIR + raycast_axes * FLOPS_RAY_PAIR
+                     + FLOPS_MERGE_CAND)
+    hbm = (q_pad / chunk) * t_pad * 36.0 + q_pad * (12.0 + 4.0)
+    return {"flops": flops, "hbm_bytes": hbm, "pairs": pairs}
+
+
+def cpt_sweep_flops(n_cells: int, slot2_center: bool, rounds: int = 1,
+                    n_sweeps_per_round: int = 6) -> dict:
+    """CPT directional sweeps (see module docstring for the model)."""
+    cands = 2 + 9 + (1 if slot2_center else 9)
+    per_cell = cands * (FLOPS_LADDER_PAIR + FLOPS_MERGE_CAND)
+    sweeps = rounds * n_sweeps_per_round
+    flops = float(n_cells) * per_cell * sweeps
+    hbm = float(n_cells) * 88.0 * 2.0 * sweeps
+    return {"flops": flops, "hbm_bytes": hbm,
+            "evals_per_cell": cands * sweeps}
+
+
+def cpt_seed_flops(seed_bins) -> dict:
+    """Seed evaluation work, counted from the actual gather lists."""
+    import numpy as np
+
+    k, r = np.asarray(seed_bins.entry_tri).shape
+    pairs = float(k) * r
+    flops = pairs * (FLOPS_LADDER_PAIR + FLOPS_MERGE_CAND)
+    hbm = pairs * 36.0 * 2.0 + r * 8.0
+    return {"flops": flops, "hbm_bytes": hbm, "pairs": pairs}
+
+
+def parity_binned_flops(line_bins_3, lines_per_tile: int = 1024) -> dict:
+    """Binned 3-axis parity work, counted from the actual candidate tables
+    (padded table entries still run through the kernel — counted)."""
+    import numpy as np
+
+    flops = 0.0
+    hbm = 0.0
+    pairs = 0.0
+    for b in line_bins_3:
+        n_tiles, max_nb = np.asarray(b.tbl).shape
+        p = float(n_tiles) * max_nb * b.tb * lines_per_tile
+        pairs += p
+        flops += p * FLOPS_RAY_PAIR_BINNED
+        hbm += float(n_tiles) * max_nb * b.tb * 36.0 + \
+            float(n_tiles) * lines_per_tile * 4.0
+    return {"flops": flops, "hbm_bytes": hbm, "pairs": pairs}
+
+
+def grid_total_flops(n_cells: int, seed_bins=None, line_bins_3=None,
+                     slot2_center: bool = False, rounds: int = 1) -> dict:
+    """End-to-end generate_grid_sdf (raycast) model: seeds + sweeps +
+    parity. Missing structures contribute zero (their phase is then
+    excluded from the roof — noted by the caller)."""
+    total_f = 0.0
+    total_b = 0.0
+    sw = cpt_sweep_flops(n_cells, slot2_center, rounds)
+    total_f += sw["flops"]
+    total_b += sw["hbm_bytes"]
+    if seed_bins is not None:
+        sd = cpt_seed_flops(seed_bins)
+        total_f += sd["flops"]
+        total_b += sd["hbm_bytes"]
+    if line_bins_3 is not None:
+        pr = parity_binned_flops(line_bins_3)
+        total_f += pr["flops"]
+        total_b += pr["hbm_bytes"]
+    return {"flops": total_f, "hbm_bytes": total_b}

@@ -57,7 +57,11 @@ def run_seed():
 
 seed = run_seed()
 t_seed = timeit(run_seed)
-print(f"seed (device): {t_seed:.3f}s", flush=True)
+from mesh_to_sdf_tpu.utils import roofline
+
+m = roofline.cpt_seed_flops(bins)
+print(f"seed (device): {t_seed:.3f}s pairs={m['pairs']:.3g} "
+      f"{roofline.account(t_seed, m['flops'], m['hbm_bytes'])}", flush=True)
 
 for s2c in (False, True):
     def run_sweeps(s2c=s2c):
@@ -68,8 +72,11 @@ for s2c in (False, True):
         return d
 
     t = timeit(run_sweeps)
+    ms = roofline.cpt_sweep_flops(N**3, s2c)
     print(f"seed-eval+sweeps slot2_center={s2c}: {t:.3f}s "
-          f"(sweeps-only ~{t - t_seed:.3f}s)", flush=True)
+          f"(sweeps-only ~{t - t_seed:.3f}s) "
+          f"{roofline.account(max(t - t_seed, 1e-9), ms['flops'], ms['hbm_bytes'])}",
+          flush=True)
 
 
 # Parity phase: dense vs binned kernels.
@@ -94,7 +101,11 @@ for name, lb in (("dense", None), ("binned", bins3)):
         return inside
 
     t = timeit(run_parity)
-    print(f"parity 3-axis {name}: {t:.3f}s", flush=True)
+    acct = ""
+    if lb is not None:
+        mp = roofline.parity_binned_flops(lb)
+        acct = f" {roofline.account(t, mp['flops'], mp['hbm_bytes'])}"
+    print(f"parity 3-axis {name}: {t:.3f}s{acct}", flush=True)
 
 
 def run_full():
