@@ -255,6 +255,27 @@ def cmd_bench(args) -> int:
     from . import Grid, SignMethod, Topology, generate_grid_sdf, generate_sdf
     from .utils.meshgen import icosphere
 
+    if args.scaling:
+        # Weak-scaling efficiency across all visible devices (BASELINE
+        # north star: ≥80% at 1→N). One command per host on a pod.
+        if args.distributed:
+            from .parallel.mesh import initialize_distributed
+
+            initialize_distributed(
+                args.coordinator, args.num_processes, args.process_id
+            )
+        from .parallel.scaling import format_report, measure_weak_scaling
+
+        report = measure_weak_scaling(
+            base_nx=args.cells // 2,
+            ny=args.cells, nz=args.cells,
+            sign_method=SignMethod(args.sign),
+            repeats=args.repeats,
+        )
+        print(format_report(report))
+        print(json.dumps({"metric": "weak_scaling", **report}))
+        return 0
+
     subdiv = max(1, int(np.ceil(np.log(max(args.tris, 20) / 20) / np.log(4))))
     verts, faces = icosphere(subdiv=subdiv)
     topo = Topology.triangle_list(faces.reshape(-1))
@@ -388,6 +409,19 @@ def main(argv=None) -> int:
     b.add_argument("--tris", type=int, default=20480)
     b.add_argument("--sign", choices=["raycast", "normal"], default="raycast")
     b.add_argument("--repeats", type=int, default=3)
+    b.add_argument(
+        "--scaling", action="store_true",
+        help="measure weak-scaling efficiency across all visible devices "
+             "(grid nx grows with device count; ≥80%% is the north star). "
+             "Combine with --distributed on multi-host pods.",
+    )
+    b.add_argument(
+        "--distributed", action="store_true",
+        help="initialize jax.distributed before the scaling sweep",
+    )
+    b.add_argument("--coordinator", default=None)
+    b.add_argument("--num-processes", type=int, default=None)
+    b.add_argument("--process-id", type=int, default=None)
     b.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)

@@ -192,6 +192,83 @@ def build_block_index(ta, tb, tc, *, block: int = TB) -> BlockIndex:
     )
 
 
+def _phase_a_hier(centers, bi: BlockIndex, *, c: int):
+    """Coarse→fine phase A for large meshes (≥ ``HIER_MIN_BLOCKS`` blocks).
+
+    Coarse level: box distance from each sub-tile center to every block
+    AABB — O(n_sub·B), the Morton-block analog of descending the R-tree's
+    upper levels (`bvh_ext.rs:102-168`) — keeps only the ``c`` nearest
+    blocks per center. Fine level: per-triangle centroid−circumradius
+    bounds over ONLY the windowed blocks' triangles — O(n_sub·c·tb)
+    instead of the flat path's O(n_sub·T), a T/(c·tb) reduction (≈40× at
+    1M triangles with c=96, tb=256).
+
+    Returns ``(lb_c, idx_c, lb_rest)``: fine bounds sorted ascending
+    (n_sub, c); the block ids in that order; and the coarse bound on the
+    nearest block OUTSIDE the window (n_sub,). Both bound kinds are true
+    lower bounds on d(center, any triangle of the block) — every triangle
+    lies inside its block AABB and inside its circumsphere — so the
+    caller's certificate stays sound; near-surface centers where more
+    than ``c`` block AABBs overlap merely degrade ``lb_rest`` toward 0
+    (raising recompute-flag rates, never breaking exactness).
+    """
+    B = bi.n_blocks
+    n_sub = centers.shape[0]
+    tb = bi.tb
+    cc = min(c, B - 1)
+
+    # Coarse: center→AABB box distances, all blocks at once ((n_sub, B)
+    # fits easily: 1M queries → 7.8k sub-tiles × 4k blocks = 125 MB f32).
+    gap = jnp.maximum(
+        jnp.maximum(bi.lo[None] - centers[:, None],
+                    centers[:, None] - bi.hi[None]),
+        0.0,
+    )
+    dbox = jnp.sqrt(jnp.sum(gap * gap, axis=-1))  # (n_sub, B)
+    neg, idx = jax.lax.top_k(-dbox, cc + 1)
+    lb_rest = -neg[:, cc]
+    idx_c = idx[:, :cc]
+
+    # Fine: csphere bounds over the windowed blocks' triangles. Row-gather
+    # whole (tb,)-rows per candidate block (scalar gathers are the measured
+    # TPU anti-pattern, memory `tpu-layout-rules`), chunked over sub-tiles
+    # to bound the (chunk, cc, tb) intermediate.
+    p9 = bi.planes9
+    cen = ((p9[0:3] + p9[3:6] + p9[6:9]) * (1.0 / 3.0)).reshape(3, B, tb)
+    rad = jnp.sqrt(
+        jnp.maximum(
+            jnp.sum((p9[0:3].reshape(3, B, tb) - cen) ** 2, axis=0),
+            jnp.maximum(
+                jnp.sum((p9[3:6].reshape(3, B, tb) - cen) ** 2, axis=0),
+                jnp.sum((p9[6:9].reshape(3, B, tb) - cen) ** 2, axis=0),
+            ),
+        )
+    )  # (B, tb)
+
+    chunk = max(1, min(256, n_sub))
+    pad_rows = (-n_sub) % chunk
+    c_pad = jnp.pad(centers, ((0, pad_rows), (0, 0)), mode="edge")
+    i_pad = jnp.pad(idx_c, ((0, pad_rows), (0, 0)), mode="edge")
+
+    def body(arg):
+        cs, ix = arg  # (chunk, 3), (chunk, cc)
+        dx = cs[:, 0][:, None, None] - cen[0][ix]
+        dy = cs[:, 1][:, None, None] - cen[1][ix]
+        dz = cs[:, 2][:, None, None] - cen[2][ix]
+        d = jnp.sqrt(dx * dx + dy * dy + dz * dz) - rad[ix]
+        return jnp.min(jnp.maximum(d, 0.0), axis=2)  # (chunk, cc)
+
+    lbf = jax.lax.map(
+        body,
+        (c_pad.reshape(-1, chunk, 3), i_pad.reshape(-1, chunk, cc)),
+    ).reshape(-1, cc)[:n_sub]
+
+    ord_ = jnp.argsort(lbf, axis=1)
+    lb_c = jnp.take_along_axis(lbf, ord_, axis=1)
+    idx_sorted = jnp.take_along_axis(idx_c, ord_, axis=1)
+    return lb_c, idx_sorted, lb_rest
+
+
 @functools.partial(
     jax.jit, static_argnames=("nb_sub", "st", "qt", "nb_table")
 )

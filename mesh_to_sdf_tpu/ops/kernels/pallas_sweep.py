@@ -127,109 +127,143 @@ def _merge2(d1, v1, i1, d2, v2, i2, dc, vc, ic):
     return nd1, nv1, ni1, nd2, nv2, ni2
 
 
-def _shift2(plane, dy, dz, pad_val):
-    """3x3-window shift with edge padding for a (n1, n2) plane."""
-    p = jnp.pad(plane, ((1, 1), (1, 1)), constant_values=pad_val)
-    n1, n2 = plane.shape
-    return p[dy : dy + n1, dz : dz + n2]
+#: Sentinel-row margin on each side of the carry scratch's row axis. 8 rows
+#: keep every dynamic strip read/write sublane-aligned (Mosaic's f32 tile is
+#: (8, 128)) while providing the 1-row halo the 3×3 window needs.
+_MARGIN = 8
 
-
-def _shiftv(v, dy, dz):
-    p = jnp.pad(v, ((0, 0), (1, 1), (1, 1)), constant_values=PAD_COORD)
-    n1, n2 = v.shape[1:]
-    return p[:, dy : dy + n1, dz : dz + n2]
+#: Max transverse-plane elements processed per kernel strip. 256² (the
+#: measured-good dense-path plane) — larger planes made the Mosaic register
+#: allocator spill ~142 MB at 512² (BENCH r4 streamed-512³ OOM), so bigger
+#: planes are strip-mined to this footprint.
+_MAX_PLANE = 256 * 256
 
 
 def _sweep_kernel(
     # SMEM scalars
     rev_ref, f0_ref, f1_ref, f2_ref, cs0_ref, cs1_ref, cs2_ref,
-    # inputs (blocks of the volumes)
+    # inputs (strip blocks of the volumes)
     d1_ref, v1_ref, i1_ref, d2_ref, v2_ref, i2_ref,
     # outputs
     od1_ref, ov1_ref, oi1_ref, od2_ref, ov2_ref, oi2_ref,
-    # scratch carry
+    # scratch carry: parity-double-buffered full planes with _MARGIN
+    # sentinel rows top+bottom — (2, n1+2·_MARGIN, n2) / (2, 9, ·, ·)
     sd1, sv1, si1, sd2, sv2, si2,
-    *, comp0: int, comp1: int, comp2: int, n0: int, chunk: int,
-    reverse: bool, squared: bool, slot2_center: bool,
+    *, comp0: int, comp1: int, comp2: int, n0: int, n1: int, n1t: int,
+    squared: bool, slot2_center: bool,
 ):
     """comp0/1/2: which world coordinate (0=x,1=y,2=z) varies along the
-    sweep axis / plane rows / plane cols. Each grid step processes ``chunk``
-    consecutive slices (amortizing per-step overhead); a reverse sweep
-    walks the slices within the block backwards."""
+    sweep axis / plane rows / plane cols.
+
+    Grid = (slices, row-strips). Each step processes one (n1t, n2) strip of
+    one slice: candidates come from the PREVIOUS slice's carry (parity
+    ``i%2``), merged state is written to the output window and to parity
+    ``1−i%2``. The parity double-buffer is what lets strips within a slice
+    run in any order — every read sees the previous slice, never a
+    neighbor strip's fresh write. Sentinel margins make the strip's
+    halo read one aligned dynamic slice with no edge conditionals.
+    """
     i = pl.program_id(0)
+    j = pl.program_id(1)
+    p = jax.lax.rem(i, 2)
+    n2 = d1_ref.shape[2]
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (j == 0))
     def _():
-        sd1[:, :] = jnp.full_like(sd1, F32_MAX)
-        sv1[:, :, :] = jnp.full_like(sv1, PAD_COORD)
-        si1[:, :] = jnp.full_like(si1, -1)
-        sd2[:, :] = jnp.full_like(sd2, F32_MAX)
-        sv2[:, :, :] = jnp.full_like(sv2, PAD_COORD)
-        si2[:, :] = jnp.full_like(si2, -1)
+        sd1[:, :, :] = jnp.full_like(sd1, F32_MAX)
+        sv1[:, :, :, :] = jnp.full_like(sv1, PAD_COORD)
+        si1[:, :, :] = jnp.full_like(si1, -1)
+        sd2[:, :, :] = jnp.full_like(sd2, F32_MAX)
+        sv2[:, :, :, :] = jnp.full_like(sv2, PAD_COORD)
+        si2[:, :, :] = jnp.full_like(si2, -1)
 
-    n1, n2 = d1_ref.shape[1:]
     rev = rev_ref[0]
-
     firsts = (f0_ref[0], f1_ref[0], f2_ref[0])
     css = (cs0_ref[0], cs1_ref[0], cs2_ref[0])
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0).astype(jnp.float32)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1).astype(jnp.float32)
-    coord_r = firsts[comp1] + row_ids * css[comp1]
-    coord_c = firsts[comp2] + col_ids * css[comp2]
 
-    order = range(chunk - 1, -1, -1) if reverse else range(chunk)
-    for s in order:
-        # Grid index along the sweep axis for this slice.
-        ga = jnp.where(
-            rev != 0, n0 - 1 - (i * chunk + (chunk - 1 - s)),
-            i * chunk + s,
-        ).astype(jnp.float32)
-        coord_a = firsts[comp0] + ga * css[comp0]
-        comps = [None, None, None]
-        comps[comp0] = jnp.broadcast_to(coord_a, (n1, n2))
-        comps[comp1] = coord_r
-        comps[comp2] = coord_c
-        cx, cy, cz = comps
+    r0 = j * n1t  # strip's first plane row (dynamic)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n1t, n2), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n1t, n2), 1)
+    coord_r = firsts[comp1] + (r0 + row_ids).astype(jnp.float32) * css[comp1]
+    coord_c = firsts[comp2] + col_ids.astype(jnp.float32) * css[comp2]
+    ga = jnp.where(rev != 0, n0 - 1 - i, i).astype(jnp.float32)
+    coord_a = firsts[comp0] + ga * css[comp0]
+    comps = [None, None, None]
+    comps[comp0] = jnp.broadcast_to(coord_a, (n1t, n2))
+    comps[comp1] = coord_r
+    comps[comp2] = coord_c
+    cx, cy, cz = comps
 
-        d1 = d1_ref[s]
-        v1 = v1_ref[s]
-        i1 = i1_ref[s]
-        d2 = d2_ref[s]
-        v2 = v2_ref[s]
-        i2 = i2_ref[s]
+    d1 = d1_ref[0]
+    v1 = v1_ref[0]
+    i1 = i1_ref[0]
+    d2 = d2_ref[0]
+    v2 = v2_ref[0]
+    i2 = i2_ref[0]
 
-        dist = _pt_dist2 if squared else _pt_dist
-        for dy in (0, 1, 2):
-            for dz in (0, 1, 2):
-                # slot2_center: the runner-up carry only contributes its
-                # CENTER candidate (transverse runner-up flow still happens
-                # via slot-1 demotion in _merge2) — 10 exact evaluations
-                # per cell instead of 18; the sweep is VPU-compute-bound.
-                slots = (
-                    ((sd1, sv1, si1), (sd2, sv2, si2))
-                    if (not slot2_center) or (dy == 1 and dz == 1)
-                    else ((sd1, sv1, si1),)
+    # Aligned carry superset: scratch rows [r0, r0+n1t+2·_MARGIN) cover
+    # plane rows [r0−_MARGIN, r0+n1t+_MARGIN) ⊇ the strip's 1-row halo
+    # (r0 is 8-row aligned by construction, so the read's layout offset is
+    # {0,0}). The halo shifts below use `pltpu.roll` (dynamic rotate) +
+    # aligned static slices — pad-then-slice concats crash Mosaic when the
+    # operand carries a sublane-offset layout (r4 512³ finding).
+    rows = pl.dslice(r0, n1t + 2 * _MARGIN)
+
+    def row_strip(s, dy):
+        """Plane rows r0−1+dy … r0+n1t−2+dy (sentinel margins supply the
+        outer-edge halo rows)."""
+        k = _MARGIN - 1 + dy
+        if s.ndim == 4:  # vertex planes (2, 9, n1m, n2)
+            base = s[p, :, rows, :]
+            return pltpu.roll(base, base.shape[1] - k, 1)[:, :n1t, :]
+        base = s[p, rows, :]
+        return pltpu.roll(base, base.shape[0] - k, 0)[:n1t, :]
+
+    def col_shift(x, dz, pad_val):
+        """Columns shifted by dz−1 with ``pad_val`` injected at the edge."""
+        if dz == 1:
+            return x
+        rolled = pltpu.roll(x, (1 - dz) % n2, x.ndim - 1)
+        mask = col_ids == (0 if dz == 0 else n2 - 1)
+        if x.ndim == 3:
+            mask = mask[None]
+        return jnp.where(mask, pad_val, rolled)
+
+    dist = _pt_dist2 if squared else _pt_dist
+    for dy in (0, 1, 2):
+        # slot2_center: the runner-up carry only contributes its CENTER
+        # candidate (transverse runner-up flow still happens via slot-1
+        # demotion in _merge2) — 10 exact evaluations per cell instead
+        # of 18; the sweep is VPU-compute-bound.
+        rowsets = [(row_strip(sv1, dy), row_strip(si1, dy))]
+        if not slot2_center:
+            rowsets.append((row_strip(sv2, dy), row_strip(si2, dy)))
+        for dz in (0, 1, 2):
+            sets = rowsets
+            if slot2_center and dy == 1 and dz == 1:
+                sets = rowsets + [(row_strip(sv2, dy), row_strip(si2, dy))]
+            for (vrow, irow) in sets:
+                vcand = col_shift(vrow, dz, PAD_COORD)
+                icand = col_shift(irow, dz, -1)
+                dcand = dist(cx, cy, cz, vcand)
+                d1, v1, i1, d2, v2, i2 = _merge2(
+                    d1, v1, i1, d2, v2, i2, dcand, vcand, icand
                 )
-                for (sd, sv, si) in slots:
-                    vcand = _shiftv(sv[:, :, :], dy, dz)
-                    icand = _shift2(si[:, :], dy, dz, -1)
-                    dcand = dist(cx, cy, cz, vcand)
-                    d1, v1, i1, d2, v2, i2 = _merge2(
-                        d1, v1, i1, d2, v2, i2, dcand, vcand, icand
-                    )
 
-        od1_ref[s] = d1
-        ov1_ref[s] = v1
-        oi1_ref[s] = i1
-        od2_ref[s] = d2
-        ov2_ref[s] = v2
-        oi2_ref[s] = i2
-        sd1[:, :] = d1
-        sv1[:, :, :] = v1
-        si1[:, :] = i1
-        sd2[:, :] = d2
-        sv2[:, :, :] = v2
-        si2[:, :] = i2
+    od1_ref[0] = d1
+    ov1_ref[0] = v1
+    oi1_ref[0] = i1
+    od2_ref[0] = d2
+    ov2_ref[0] = v2
+    oi2_ref[0] = i2
+    wrows = pl.dslice(r0 + _MARGIN, n1t)
+    q = 1 - p
+    sd1[q, wrows, :] = d1
+    sv1[q, :, wrows, :] = v1
+    si1[q, wrows, :] = i1
+    sd2[q, wrows, :] = d2
+    sv2[q, :, wrows, :] = v2
+    si2[q, wrows, :] = i2
 
 
 @functools.partial(
@@ -252,38 +286,47 @@ def sweep_oriented(
 ):
     """One directional sweep over volumes laid out sweep-axis-first.
 
-    Each grid step handles ``chunk`` slices (TPU scans of single slices are
-    step-overhead-bound); the carry stays in VMEM scratch across steps.
+    Grid = (slices, row-strips): planes larger than ``_MAX_PLANE`` elements
+    are strip-mined so the kernel's live working set stays at the
+    measured-good 256² footprint (512² planes spilled ~142 MB of vector
+    registers — the r4 streamed-512³ OOM). The carry persists across grid
+    steps in parity-double-buffered VMEM scratch.
     """
     n0, n1, n2 = d1.shape
-    # chunk=2 measured perf-neutral at 256³ (0.80 s vs 0.79 s — the sweep is
-    # bandwidth-bound, not step-overhead-bound) while needing ~110 MB of
-    # scoped VMEM; keep the multi-slice machinery but default to 1.
-    chunk = 1
-    n_blocks = n0 // chunk
+
+    if n1 * n2 <= _MAX_PLANE:
+        n1t = n1
+    else:
+        n1t = n1
+        for t in range(min(_MAX_PLANE // n2, n1), 7, -1):
+            # Strips must tile the rows exactly and stay sublane-aligned.
+            if n1 % t == 0 and t % _MARGIN == 0:
+                n1t = t
+                break
+    n_strips = n1 // n1t
 
     rev = jnp.asarray(1 if reverse else 0, jnp.int32).reshape(1)
 
     if reverse:
         def idx(i):
-            return n_blocks - 1 - i
+            return n0 - 1 - i
     else:
         def idx(i):
             return i
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    b3 = pl.BlockSpec((chunk, n1, n2), lambda i: (idx(i), 0, 0),
+    b3 = pl.BlockSpec((1, n1t, n2), lambda i, j: (idx(i), j, 0),
                       memory_space=pltpu.VMEM)
-    b4 = pl.BlockSpec((chunk, 9, n1, n2), lambda i: (idx(i), 0, 0, 0),
+    b4 = pl.BlockSpec((1, 9, n1t, n2), lambda i, j: (idx(i), 0, j, 0),
                       memory_space=pltpu.VMEM)
 
+    n1m = n1 + 2 * _MARGIN
     out = pl.pallas_call(
         functools.partial(
             _sweep_kernel, comp0=comp0, comp1=comp1, comp2=comp2, n0=n0,
-            chunk=chunk, reverse=reverse, squared=squared,
-            slot2_center=slot2_center,
+            n1=n1, n1t=n1t, squared=squared, slot2_center=slot2_center,
         ),
-        grid=(n_blocks,),
+        grid=(n0, n_strips),
         in_specs=[smem] * 7 + [b3, b4, b3, b3, b4, b3],
         out_specs=[b3, b4, b3, b3, b4, b3],
         out_shape=[
@@ -295,18 +338,17 @@ def sweep_oriented(
             jax.ShapeDtypeStruct((n0, n1, n2), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n1, n2), jnp.float32),
-            pltpu.VMEM((9, n1, n2), jnp.float32),
-            pltpu.VMEM((n1, n2), jnp.int32),
-            pltpu.VMEM((n1, n2), jnp.float32),
-            pltpu.VMEM((9, n1, n2), jnp.float32),
-            pltpu.VMEM((n1, n2), jnp.int32),
+            pltpu.VMEM((2, n1m, n2), jnp.float32),
+            pltpu.VMEM((2, 9, n1m, n2), jnp.float32),
+            pltpu.VMEM((2, n1m, n2), jnp.int32),
+            pltpu.VMEM((2, n1m, n2), jnp.float32),
+            pltpu.VMEM((2, 9, n1m, n2), jnp.float32),
+            pltpu.VMEM((2, n1m, n2), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            # chunk=2 at 256² slices needs ~110 MB of scoped VMEM (22
-            # double-buffered planes in+out + the carry scratch); v5e has
-            # 128 MB physical.
-            vmem_limit_bytes=120 * 1024 * 1024
+            # 512² planes: carry scratch ≈48 MB + strip windows ≈23 MB.
+            vmem_limit_bytes=120 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(

@@ -349,3 +349,96 @@ def test_route_cache_self_tunes_and_stays_exact(big_sphere, rng):
                        sign_method=SignMethod.RAYCAST)
     )
     np.testing.assert_allclose(second, want, rtol=2e-4, atol=5e-5)
+
+
+def test_phase_a_hier_bounds_are_sound(big_sphere, monkeypatch):
+    """Hierarchical phase A (coarse AABB → fine csphere): every returned
+    bound must be a true lower bound on the exact center→block triangle
+    distance, and lb_rest must lower-bound every block outside the window."""
+    from mesh_to_sdf_tpu.ops.kernels import pallas_culled
+
+    verts, faces = big_sphere
+    ta, tb, tc, valid, n = _tris(verts, faces)
+    ta, tb, tc = np.asarray(ta[:n]), np.asarray(tb[:n]), np.asarray(tc[:n])
+    bi = pallas_culled.build_block_index(ta, tb, tc)
+    B, tbk = bi.n_blocks, bi.tb
+    assert B == 20
+
+    centers = jnp.asarray(
+        [[0.0, 0.0, 0.0], [1.0, 0.2, -0.3], [2.5, 2.5, 2.5]], jnp.float32
+    )
+    c = 6
+    lb_c, idx_c, lb_rest = pallas_culled._phase_a_hier(centers, bi, c=c)
+    lb_c, idx_c, lb_rest = map(np.asarray, (lb_c, idx_c, lb_rest))
+    assert lb_c.shape == (3, c) and idx_c.shape == (3, c)
+    # Sorted ascending.
+    assert (np.diff(lb_c, axis=1) >= -1e-7).all()
+
+    # Exact per-block min distances via the numpy closest-point oracle.
+    # build_block_index Morton-sorts, so read the SORTED soup back from the
+    # packed planes (pad triangles have a == PAD_COORD).
+    from baselines import sdfgen_point_triangle_distance
+    from mesh_to_sdf_tpu.ops.kernels.pallas_sdf import PAD_COORD
+
+    p9 = np.asarray(bi.planes9)
+    sa, sb, sc = p9[0:3].T, p9[3:6].T, p9[6:9].T
+    real = sa[:, 0] != PAD_COORD
+
+    for s in range(3):
+        cs = np.asarray(centers[s])
+        d_tri = np.array(
+            [sdfgen_point_triangle_distance(cs, sa[i], sb[i], sc[i])
+             if real[i] else np.inf for i in range(len(sa))], np.float32,
+        )
+        d_blk = np.full(B, np.inf, np.float32)
+        np.minimum.at(d_blk, np.arange(len(sa)) // tbk, d_tri)
+        for j in range(c):
+            b = idx_c[s, j]
+            assert lb_c[s, j] <= d_blk[b] + 1e-5, (s, j, b)
+        outside = np.setdiff1d(np.arange(B), idx_c[s])
+        if outside.size:
+            assert lb_rest[s] <= d_blk[outside].min() + 1e-5
+
+
+def test_culled_blocks_hier_path_is_exact(big_sphere, rng, monkeypatch):
+    """Force the hierarchical branch of select_blocks on the 20-block
+    sphere: non-flagged queries must match brute exactly; flagged ones are
+    the caller's dense-recompute responsibility (as in the flat path)."""
+    from mesh_to_sdf_tpu.ops import brute
+    from mesh_to_sdf_tpu.ops.kernels import pallas_culled
+
+    monkeypatch.setattr(pallas_culled, "HIER_MIN_BLOCKS", 8)
+    monkeypatch.setattr(pallas_culled, "HIER_C", 6)
+
+    verts, faces = big_sphere
+    ta, tb, tc, valid, n = _tris(verts, faces)
+    ta, tb, tc, valid = ta[:n], tb[:n], tc[:n], valid[:n]
+    bi = pallas_culled.build_block_index(
+        np.asarray(ta), np.asarray(tb), np.asarray(tc)
+    )
+    assert bi.n_blocks >= max(8, 2 * 6)  # hier branch active
+
+    centers = rng.uniform(-1.2, 1.2, (10, 3)).astype(np.float32)
+    q = (centers[:, None, :]
+         + rng.normal(0, 0.03, (10, 128, 3)).astype(np.float32)
+         ).reshape(-1, 3)
+    q = jnp.asarray(q)
+    # Distinct (qt, st, nb) from the flat-path test → a fresh jit trace
+    # that reads the monkeypatched globals.
+    dist, q_ovf = culling._culled_blocks_impl(
+        q, bi, qt=128, st=32, nb_sub=6, nb_table=24, interpret=True
+    )
+    ta_p, tb_p, tc_p, valid_p, blk = brute.pad_tri_blocks(
+        ta, tb, tc, valid, 512
+    )
+    want = np.asarray(
+        brute.sdf_brute(
+            q, ta_p, tb_p, tc_p, valid_p, sign_method=SignMethod.RAYCAST,
+            raycast_axes=0, tri_block=blk, query_chunk=q.shape[0],
+        )
+    )
+    ok = ~np.asarray(q_ovf)
+    assert ok.any(), "clustered tiles should pass the hier certificate"
+    np.testing.assert_allclose(
+        np.asarray(dist)[ok], want[ok], rtol=2e-4, atol=1e-5
+    )
