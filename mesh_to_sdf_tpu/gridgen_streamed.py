@@ -16,11 +16,21 @@ way the distributed version shards them (parallel/grid_sharded.py):
 
 One compiled program per pass shape serves every slab (the slab grid differs
 only in its ``first_cell``, which is traced data).
+
+Tunnel discipline (measured on the remote-TPU environment, ~10 MB/s
+steady host↔device): ALL host prep — subdivision, per-slab seed bins,
+per-slab parity line bins — is content-cached per (mesh, grid, slab_nx)
+as DEVICE-resident arrays (``_STREAM_PREP_CACHE``), boundary-edge states
+stay on device between the passes, and the per-slab output fetch runs one
+slab BEHIND the compute so the D2H transfer overlaps the next slab's
+passes. The round-4 measurement (scripts/exp_streamed_profile.py): of the
+155 s warm 512³ run, ~134 s was host seed-bin rebuild, ~1 GB was per-slab
+seed re-upload, and the 512 MB output fetch was serialized after compute.
 """
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -213,6 +223,107 @@ def _slab_sign_raycast(first_cell, cell_size, cell_count, dist, orig,
     return jnp.where(votes >= 2, -dist, dist), jnp.zeros((), jnp.int32)
 
 
+class _StreamPrep(NamedTuple):
+    """Device-resident per-(mesh, grid, slab_nx) prep for the streamed run.
+
+    tris: (3, Ts, 3) subdivided soup; orig: (3, T, 3) original soup;
+    seeds: per-slab (entry (K, R), rows_cell (R,), cell_row (N_slab,))
+    device tuples, all padded to one common R so ONE compiled program
+    serves every slab; n_shift_rounds: shared merge-round count;
+    line_bins: per-slab parity candidate tables (TPU raycast only).
+    """
+
+    tris: object
+    orig: object
+    seeds: list
+    n_shift_rounds: int
+    line_bins: Optional[list]
+
+
+#: Content-keyed prep cache (≙ gridgen._CPT_PREP_CACHE): the host binning
+#: at 512³ measures ~2 min and its upload ~1 GB — once per (mesh, grid).
+_STREAM_PREP_CACHE: dict = {}
+_STREAM_PREP_CACHE_MAX = 2
+
+
+def _stream_prep(grid: Grid, slab_nx: int, v_np, f_np,
+                 want_line_bins: bool) -> _StreamPrep:
+    import zlib
+
+    nx, ny, nz = grid.cell_count
+    n_slabs = nx // slab_nx
+    key = (
+        zlib.adler32(v_np.tobytes()),
+        zlib.adler32(f_np.tobytes()),
+        tuple(np.asarray(grid.first_cell, np.float32).tolist()),
+        tuple(np.asarray(grid.cell_size, np.float32).tolist()),
+        tuple(int(c) for c in grid.cell_count),
+        slab_nx,
+        want_line_bins,
+    )
+    hit = _STREAM_PREP_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    cs = float(np.max(np.abs(np.asarray(grid.cell_size))))
+    # Binned seeds have exact AABB±1 coverage for any triangle size; the
+    # loose 8-cell cap only bounds the rasterized seed volume.
+    ra, rb, rc = cpt_mod.subdivide_to_span(v_np, f_np, max_edge=8.0 * cs)
+    tris = jnp.asarray(np.stack([ra, rb, rc]))
+    oa_np = v_np[f_np[:, 0]]
+    ob_np = v_np[f_np[:, 1]]
+    oc_np = v_np[f_np[:, 2]]
+    orig = jnp.asarray(np.stack([oa_np, ob_np, oc_np]))
+
+    line_bins = None
+    if want_line_bins:
+        line_bins = build_slab_line_bins(
+            grid, slab_nx, n_slabs, oa_np, ob_np, oc_np
+        )
+
+    # Per-slab seed bins, padded to a common row count and uploaded slab by
+    # slab (NOT host-stacked like cpt.build_slab_seed_bins — at 512³ the
+    # (n_slabs, …) assembly alone copies ~1 GB twice, measured ~58 s).
+    fc = np.asarray(grid.first_cell, np.float32)
+    csv = np.asarray(grid.cell_size, np.float32)
+    host_bins = []
+    for i in range(n_slabs):
+        slab = Grid(
+            first_cell=fc + np.asarray([i * slab_nx, 0, 0], np.float32) * csv,
+            cell_size=csv,
+            cell_count=(slab_nx, ny, nz),
+        )
+        host_bins.append(cpt_mod.build_seed_bins(
+            slab, ra, rb, rc, k=8, pad=cpt_mod.seed_pad_for(grid)
+        ))
+    T = ra.shape[0]
+    N_slab = slab_nx * ny * nz
+    R_max = max(b.entry_tri.shape[1] for b in host_bins)
+    n_rounds = max(b.n_shift_rounds for b in host_bins)
+    seeds = []
+    while host_bins:
+        b = host_bins.pop(0)  # free host memory as we upload
+        r = b.entry_tri.shape[1]
+        if r < R_max:
+            entry = np.full((b.entry_tri.shape[0], R_max), T, np.int32)
+            entry[:, :r] = b.entry_tri
+            rows = np.full((R_max,), N_slab, np.int32)
+            rows[:r] = b.rows_cell
+        else:
+            entry, rows = b.entry_tri, b.rows_cell
+        seeds.append((
+            jax.block_until_ready(jnp.asarray(entry)),
+            jax.block_until_ready(jnp.asarray(rows)),
+            jax.block_until_ready(jnp.asarray(b.cell_row)),
+        ))
+
+    prep = _StreamPrep(tris, orig, seeds, n_rounds, line_bins)
+    if len(_STREAM_PREP_CACHE) >= _STREAM_PREP_CACHE_MAX:
+        _STREAM_PREP_CACHE.pop(next(iter(_STREAM_PREP_CACHE)))
+    _STREAM_PREP_CACHE[key] = prep
+    return prep
+
+
 def generate_grid_sdf_streamed(
     vertices,
     faces,
@@ -220,11 +331,13 @@ def generate_grid_sdf_streamed(
     sign_method: SignMethod = SignMethod.RAYCAST,
     *,
     slab_nx: Optional[int] = None,
+    out: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """`generate_grid_sdf` for grids too large for one resident CPT state.
 
     Returns a host numpy array, flat reference layout. ``slab_nx`` defaults
-    to ≤64 slices per slab.
+    to ≤64 slices per slab. ``out``: optional preallocated (nx·ny·nz,) or
+    (nx, ny, nz) float32 array to stream into (avoids one allocation).
     """
     nx, ny, nz = grid.cell_count
     if slab_nx is None:
@@ -236,33 +349,12 @@ def generate_grid_sdf_streamed(
 
     v_np = np.asarray(vertices, np.float32)
     f_np = np.asarray(faces, np.int64)
-    cs = float(np.max(np.abs(np.asarray(grid.cell_size))))
-    # Binned seeds have exact AABB±1 coverage for any triangle size; the
-    # loose 8-cell cap only bounds the rasterized seed volume.
-    ra, rb, rc = cpt_mod.subdivide_to_span(v_np, f_np, max_edge=8.0 * cs)
-    tris = jnp.asarray(np.stack([ra, rb, rc]))
-    oa_np = v_np[f_np[:, 0]]
-    ob_np = v_np[f_np[:, 1]]
-    oc_np = v_np[f_np[:, 2]]
-    orig = jnp.asarray(np.stack([oa_np, ob_np, oc_np]))
     use_pallas = jax.default_backend() == "tpu"
-
-    slab_line_bins = None
-    if use_pallas and sign_method == SignMethod.RAYCAST:
-        slab_line_bins = build_slab_line_bins(
-            grid, slab_nx, n_slabs, oa_np, ob_np, oc_np
-        )
-    # Per-slab host-binned seeds, padded to common shapes so ONE compiled
-    # program serves every slab; uploaded one slab at a time (the whole
-    # point of streaming is bounding device memory).
-    slab_bins = cpt_mod.build_slab_seed_bins(grid, n_slabs, ra, rb, rc)
-
-    def slab_seed(i):
-        return (
-            jnp.asarray(slab_bins.entry_tri[i]),
-            jnp.asarray(slab_bins.rows_cell[i]),
-            jnp.asarray(slab_bins.cell_row[i]),
-        )
+    prep = _stream_prep(
+        grid, slab_nx, v_np, f_np,
+        want_line_bins=use_pallas and sign_method == SignMethod.RAYCAST,
+    )
+    tris, orig, slab_line_bins = prep.tris, prep.orig, prep.line_bins
 
     def slab_first(i):
         return grid.first_cell + jnp.asarray(
@@ -271,31 +363,44 @@ def generate_grid_sdf_streamed(
 
     empty = _empty_edge(ny, nz)
 
-    # Pass 1 (left→right): propagate boundary state, collect right edges
-    # (host copies — only 2 (ny, nz) slices per slab stay alive).
+    # Pass 1 (left→right): propagate boundary state; the right-edge states
+    # stay ON DEVICE (n_slabs × ~6·(ny, nz) slices — ~20 MB each at 512³;
+    # the old host round-trip cost 2 tunnel crossings per slab).
     right_edges = []
     carry = empty
     for i in range(n_slabs):
         _, hi, _lo = _slab_pass(
             slab_first(i), grid.cell_size, cell_count, tris, carry, empty,
-            *slab_seed(i), slab_bins.n_shift_rounds, use_pallas,
+            *prep.seeds[i], prep.n_shift_rounds, use_pallas,
         )
-        right_edges.append(jax.tree.map(np.asarray, hi))
+        right_edges.append(hi)
         carry = hi
 
-    # Pass 2 (right→left): final state per slab; sign IN the loop (keeps at
-    # most one slab's distances live on device — the whole point of
-    # streaming); stream each signed slab straight to the host array.
-    out = np.empty((nx, ny, nz), np.float32)
+    # Pass 2 (right→left): final state per slab; sign IN the loop. The
+    # fetch runs ONE SLAB BEHIND the compute: while slab i's passes
+    # execute, the (i+1)-th signed slab streams to the host — on the
+    # remote-TPU tunnel the D2H transfer is the dominant cost and fully
+    # overlaps the device work this way.
+    out = (np.empty((nx, ny, nz), np.float32) if out is None
+           else out.reshape(nx, ny, nz))
     carry = empty
+    pending = None  # (slab index, signed device array, overflow scalar)
+
+    def _drain(p):
+        i, signed, ovf = p
+        if ovf is not None and int(ovf) > 0:
+            # Parity kernel dropped crossings — exact XLA re-sign.
+            signed, _ = _slab_sign_raycast(
+                slab_first(i), grid.cell_size, cell_count,
+                jnp.abs(signed), orig, False,
+            )
+        out[i * slab_nx : (i + 1) * slab_nx] = np.asarray(signed)
+
     for i in reversed(range(n_slabs)):
-        left = (
-            cpt_mod.CptState(*[jnp.asarray(x) for x in right_edges[i - 1]])
-            if i > 0 else empty
-        )
+        left = right_edges[i - 1] if i > 0 else empty
         state, _hi, lo = _slab_pass(
             slab_first(i), grid.cell_size, cell_count, tris, left, carry,
-            *slab_seed(i), slab_bins.n_shift_rounds, use_pallas,
+            *prep.seeds[i], prep.n_shift_rounds, use_pallas,
         )
         carry = lo
 
@@ -305,18 +410,18 @@ def generate_grid_sdf_streamed(
                 use_pallas,
                 line_bins=slab_line_bins[i] if slab_line_bins else None,
             )
-            if use_pallas and int(ovf) > 0:
-                # Parity kernel dropped crossings — exact XLA re-sign.
-                signed, _ = _slab_sign_raycast(
-                    slab_first(i), grid.cell_size, cell_count,
-                    jnp.abs(state.d1), orig, False,
-                )
+            ovf = ovf if use_pallas else None
         else:
             signed = cpt_mod.normal_sign_from_idx(
                 Grid(first_cell=slab_first(i), cell_size=grid.cell_size,
                      cell_count=cell_count),
                 tris[0], tris[1], tris[2], state.d1, state.i1,
             )
-        out[i * slab_nx : (i + 1) * slab_nx] = np.asarray(signed)
+            ovf = None
+        if pending is not None:
+            _drain(pending)
+        pending = (i, signed, ovf)
+    if pending is not None:
+        _drain(pending)
 
     return out.reshape(-1)

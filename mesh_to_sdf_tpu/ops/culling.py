@@ -32,6 +32,8 @@ from .keyed import combine_champions
 
 #: Default candidate budget per tile.
 DEFAULT_K = 512
+#: Candidate-block budget per sub-tile for the gathered dense engine.
+DEFAULT_KG = 32
 
 
 def select_candidates(tile_centers, tile_radius, ta, tb, tc, valid, k):
@@ -134,15 +136,25 @@ def query_sdf_culled(queries, ta, tb, tc, valid, *, sign_method, raycast_axes=3,
         )[:queries.shape[0]]
     if (block_index is not None and sign_method == SignMethod.RAYCAST
             and sign_grid is not None):
-        # Fully-fused path: ONE scalar-prefetch kernel pass yields both
-        # distance and sign (anchor-segment parity against the resident
-        # candidate blocks); certificate-failed queries are recomputed
-        # densely with per-query parity — one extra call, subset-sized.
+        # Fully-fused path: ONE pass yields both distance and sign
+        # (anchor-segment parity against the resident candidate blocks);
+        # certificate-failed queries are recomputed densely with per-query
+        # parity — in-jit, subset-sized. Default engine: the per-sub-tile
+        # GATHERED dense pass (the per-tile-union Pallas kernel pays for
+        # the union of 1024 queries' candidates — ~69% of all blocks on
+        # the reference's query-grid criterion workload, BENCH_r04);
+        # M2S_CULLED_ENGINE=union restores the kernel.
+        import os as _os
+
         from .kernels import pallas_culled
 
+        engine = _os.environ.get("M2S_CULLED_ENGINE", "gather")
         Q = queries.shape[0]
         if st is None:
-            st = 64 if Q >= 262_144 else 16
+            st = (64 if Q >= 262_144 else 16) if engine == "union" else (
+                16 if Q <= 131_072 else 32
+            )
+        kg = DEFAULT_KG
         qt = pallas_culled.DEFAULT_QT
         nb_table = nb_table or pallas_culled.DEFAULT_NB_TABLE
         # The scalar-prefetch table lives in SMEM (1 MiB on v5e): clamp the
@@ -158,7 +170,7 @@ def query_sdf_culled(queries, ta, tb, tc, valid, *, sign_method, raycast_axes=3,
             qt=qt, st=st,
             nb_sub=nb_sub or pallas_culled.DEFAULT_NB_SUB,
             nb_table=nb_table, k_fix=k_fix, raycast_axes=raycast_axes,
-            interpret=interp,
+            interpret=interp, engine=engine, kg=kg,
         )
         if default_cfg:
             _record_route(block_index, Q, float(work_frac), st=st,
@@ -166,12 +178,18 @@ def query_sdf_culled(queries, ta, tb, tc, valid, *, sign_method, raycast_axes=3,
         if int(n_flag) > k_fix:
             # Budget blown (pathological distribution): redo ALL flagged
             # queries host-side — exactness never depends on k_fix.
-            _, flag, _wf = _culled_blocks_signed_impl(
-                queries, block_index, sign_grid.inside, sign_grid.grid,
-                qt=qt, st=st,
-                nb_sub=nb_sub or pallas_culled.DEFAULT_NB_SUB,
-                nb_table=nb_table, interpret=interp,
-            )
+            if engine == "gather":
+                _, flag, _wf = _culled_gather_signed_impl(
+                    queries, block_index, sign_grid.inside, sign_grid.grid,
+                    st=st, kg=kg, interpret=interp,
+                )
+            else:
+                _, flag, _wf = _culled_blocks_signed_impl(
+                    queries, block_index, sign_grid.inside, sign_grid.grid,
+                    qt=qt, st=st,
+                    nb_sub=nb_sub or pallas_culled.DEFAULT_NB_SUB,
+                    nb_table=nb_table, interpret=interp,
+                )
             bad_idx = np.flatnonzero(np.asarray(flag))
             pad = (-len(bad_idx)) % 1024
             bad_pad = np.concatenate([bad_idx, np.zeros(pad, np.int64)])
@@ -333,6 +351,152 @@ def _culled_blocks_impl(queries, bi, *, qt, st, nb_sub, nb_table, interpret):
     return dist[inv], q_overflow[inv]
 
 
+def _sign_epilogue(qs, cellq, anch, bmin, bmax, inside3, dist, cnt, cert):
+    """Shared anchor-transfer sign + certificate logic (union and gather
+    engines). qs/anch: (Q, 3) queries and their sign-grid anchors; cellq:
+    (Q, 3) anchor cells; dist/cnt: kernel outputs; cert: per-query excluded
+    lower bound. Returns (inside, flag)."""
+    out_of_box = jnp.any((qs < bmin[None]) | (qs > bmax[None]), axis=-1)
+    reach = jnp.linalg.norm(qs - anch, axis=-1)
+    transferable = out_of_box | (dist > reach * (1.0 + 1e-5))
+    center_inside = inside3[cellq[:, 0], cellq[:, 1], cellq[:, 2]]
+    parity_inside = center_inside ^ (cnt % 2 == 1)
+    inside_q = jnp.where(
+        out_of_box, False,
+        jnp.where(transferable, center_inside, parity_inside),
+    )
+    dist_fail = dist > cert * (1.0 - 1e-6)
+    seg_fail = (~transferable) & (cert < reach * (1.0 + 1e-6))
+    return inside_q, dist_fail | seg_fail
+
+
+def _anchor_cells(q, grid):
+    """Sign-grid cell, cell center, and box bounds for each query."""
+    counts_g = jnp.asarray(grid.cell_count, jnp.int32)
+    fc = jnp.asarray(grid.first_cell)
+    cs = jnp.asarray(grid.cell_size)
+    bmin = fc - 0.5 * cs
+    bmax = fc + (counts_g.astype(jnp.float32) - 0.5) * cs
+    cell = jnp.clip(
+        jnp.floor((q - bmin) / cs).astype(jnp.int32), 0, counts_g - 1
+    )
+    return cell, grid.cell_center(cell), bmin, bmax
+
+
+@functools.partial(
+    jax.jit, static_argnames=("st", "kg", "chunk", "interpret")
+)
+def _culled_gather_signed_impl(queries, bi, inside3, grid, *, st, kg,
+                               chunk=64, interpret=False):
+    """Per-SUB-TILE gathered dense pass: distance + fused anchor sign.
+
+    The union kernel (:func:`_culled_blocks_signed_impl`) pays for the
+    UNION of 1024 queries' candidates — on the reference's query-grid
+    criterion workload the unions hold ~69% of all blocks (BENCH_r04:
+    0.64× the 1-core baseline). Here each ``st``-query sub-tile evaluates
+    ONLY its own ≤``kg`` nearest blocks, row-gathered per sub-tile chunk:
+    work collapses from |union|·qt·tb to Σ_s n_within(s)·st·tb — the true
+    analog of the reference's per-query R-tree descent (`rtree.rs:96-126`)
+    at TPU-friendly granularity. Same exactness contract as the union
+    engine: per-query distance + segment certificates against the excluded
+    bound; flagged queries are recomputed densely by the caller.
+    """
+    from .kernels.pallas_culled import _phase_a_topk
+    from .kernels.pallas_sdf import _closest_point_vw, _dist2
+
+    Q = queries.shape[0]
+    B = bi.n_blocks
+    tb = bi.tb
+    order = _morton_order(queries)
+    q_sorted = queries[order]
+    pad = (-Q) % (st * chunk)
+    q_pad = jnp.pad(q_sorted, ((0, pad), (0, 0)), mode="edge")
+    n_sub = q_pad.shape[0] // st
+
+    subs = q_pad.reshape(n_sub, st, 3)
+    smin = jnp.min(subs, axis=1)
+    smax = jnp.max(subs, axis=1)
+    centers = (smin + smax) * 0.5
+    r_s = jnp.linalg.norm((smax - smin) * 0.5, axis=-1)
+
+    idx_kg, lb_excl = _phase_a_topk(centers, r_s, bi, kg=kg)
+
+    cell, anchors, bmin, bmax = _anchor_cells(q_pad, grid)
+
+    # Pad block at index B: PAD_COORD vertices (far degenerate point —
+    # huge distance, zero-area ⇒ det == 0 ⇒ no segment hit).
+    from .kernels.pallas_sdf import PAD_COORD
+
+    planes = jnp.concatenate(
+        [
+            bi.planes9.reshape(9, B, tb),
+            jnp.full((9, 1, tb), PAD_COORD, jnp.float32),
+        ],
+        axis=1,
+    )
+
+    def body(args):
+        qc, ac, ixc = args  # (chunk, st, 3), (chunk, st, 3), (chunk, kg)
+        g = planes[:, ixc].reshape(9, chunk, 1, kg * tb)
+        ax, ay, az, bx, by, bz, cx, cy, cz = g
+        qx = qc[..., 0][..., None]
+        qy = qc[..., 1][..., None]
+        qz = qc[..., 2][..., None]
+        apx, apy, apz = qx - ax, qy - ay, qz - az
+        abx, aby, abz = bx - ax, by - ay, bz - az
+        acx, acy, acz = cx - ax, cy - ay, cz - az
+        v, w, d1, d2_, A, B_, C = _closest_point_vw(
+            apx, apy, apz, abx, aby, abz, acx, acy, acz
+        )
+        d2pair = _dist2(apx, apy, apz, v, w, d1, d2_, A, B_, C)
+        dmin2 = jnp.min(d2pair, axis=-1)  # (chunk, st)
+        # Möller–Trumbore query→anchor segment crossings (strict interior,
+        # the reference's shared-edge blind spot too, `geo.rs:156-216`).
+        dxx = ac[..., 0][..., None] - qx
+        dyy = ac[..., 1][..., None] - qy
+        dzz = ac[..., 2][..., None] - qz
+        pvx = dyy * acz - dzz * acy
+        pvy = dzz * acx - dxx * acz
+        pvz = dxx * acy - dyy * acx
+        det = abx * pvx + aby * pvy + abz * pvz
+        inv = jnp.where(det == 0.0, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det))
+        u = (apx * pvx + apy * pvy + apz * pvz) * inv
+        qvx = apy * abz - apz * aby
+        qvy = apz * abx - apx * abz
+        qvz = apx * aby - apy * abx
+        vv = (dxx * qvx + dyy * qvy + dzz * qvz) * inv
+        tt = (acx * qvx + acy * qvy + acz * qvz) * inv
+        hit = (
+            (det != 0.0) & (u > 0.0) & (vv > 0.0)
+            & (u + vv < 1.0) & (tt > 0.0) & (tt < 1.0)
+        )
+        cnt = jnp.sum(hit, axis=-1, dtype=jnp.int32)  # (chunk, st)
+        return dmin2, cnt
+
+    n_chunks = n_sub // chunk
+    dmin2, cnt = jax.lax.map(
+        body,
+        (
+            subs.reshape(n_chunks, chunk, st, 3),
+            anchors.reshape(n_chunks, chunk, st, 3),
+            idx_kg.reshape(n_chunks, chunk, kg),
+        ),
+    )
+    dist = jnp.sqrt(dmin2.reshape(-1))[:Q]
+    cnt = cnt.reshape(-1)[:Q]
+
+    qs = q_sorted[:Q]
+    c_q = jnp.repeat(centers, st, axis=0)[:Q]
+    cert = jnp.repeat(lb_excl, st)[:Q] - jnp.linalg.norm(qs - c_q, axis=-1)
+    inside_q, flag = _sign_epilogue(
+        qs, cell[:Q], anchors[:Q], bmin, bmax, inside3, dist, cnt, cert
+    )
+    signed = jnp.where(inside_q, -dist, dist)
+    inv_ord = jnp.zeros_like(order).at[order].set(jnp.arange(Q))
+    work_frac = jnp.sum(idx_kg != B) / (idx_kg.shape[0] * B)
+    return signed[inv_ord], flag[inv_ord], work_frac
+
+
 @functools.partial(
     jax.jit, static_argnames=("qt", "st", "nb_sub", "nb_table", "interpret")
 )
@@ -408,12 +572,12 @@ def _culled_blocks_signed_impl(queries, bi, inside3, grid, *, qt, st, nb_sub,
     jax.jit,
     static_argnames=(
         "qt", "st", "nb_sub", "nb_table", "k_fix", "raycast_axes",
-        "interpret",
+        "interpret", "engine", "kg",
     ),
 )
 def _culled_signed_fixup_impl(queries, bi, inside3, grid, ra, rb, rc, *,
                               qt, st, nb_sub, nb_table, k_fix, raycast_axes,
-                              interpret):
+                              interpret, engine: str = "union", kg: int = 0):
     """Fused pass + IN-JIT dense fix-up of up to ``k_fix`` flagged queries.
 
     The host-driven subset fallback costs ~4 eager dispatches (~20 ms each
@@ -423,13 +587,22 @@ def _culled_signed_fixup_impl(queries, bi, inside3, grid, ra, rb, rc, *,
     fused kernel with per-query parity, and scattered back, all in ONE
     program. Returns (signed, n_flagged) — the caller falls back to the
     host path only when n_flagged > k_fix (rare; result still exact).
+
+    ``engine``: "gather" = per-sub-tile gathered dense pass
+    (:func:`_culled_gather_signed_impl`, ``kg`` blocks per sub-tile);
+    "union" = the per-tile scalar-prefetch Pallas kernel.
     """
     from .kernels import pallas_sdf
 
-    signed, flag, work_frac = _culled_blocks_signed_impl(
-        queries, bi, inside3, grid, qt=qt, st=st, nb_sub=nb_sub,
-        nb_table=nb_table, interpret=interpret,
-    )
+    if engine == "gather":
+        signed, flag, work_frac = _culled_gather_signed_impl(
+            queries, bi, inside3, grid, st=st, kg=kg, interpret=interpret,
+        )
+    else:
+        signed, flag, work_frac = _culled_blocks_signed_impl(
+            queries, bi, inside3, grid, qt=qt, st=st, nb_sub=nb_sub,
+            nb_table=nb_table, interpret=interpret,
+        )
     n_flag = jnp.sum(flag)
     # Pad slots get an OUT-OF-RANGE index and are dropped by the scatter:
     # an in-range fill (e.g. 0) would collide with a genuinely-flagged

@@ -269,6 +269,98 @@ def _phase_a_hier(centers, bi: BlockIndex, *, c: int):
     return lb_c, idx_sorted, lb_rest
 
 
+def _phase_a_flat_lb(centers, bi: BlockIndex):
+    """Per-block csphere lower bounds from each center — (n_sub, B).
+
+    One fused (chunk × T) centroid−circumradius sweep segment-min'd per
+    block (the flat phase A of :func:`select_blocks`, factored out)."""
+    B = bi.n_blocks
+    Tp = bi.planes9.shape[1]
+    n_sub = centers.shape[0]
+    chunk = min(256, n_sub)
+    pad_rows = (-n_sub) % chunk
+    c_pad = jnp.pad(centers, ((0, pad_rows), (0, 0)), mode="edge")
+    p9 = bi.planes9
+    cen = (p9[0:3] + p9[3:6] + p9[6:9]) * (1.0 / 3.0)
+    rad = jnp.sqrt(
+        jnp.maximum(
+            jnp.sum((p9[0:3] - cen) ** 2, axis=0),
+            jnp.maximum(
+                jnp.sum((p9[3:6] - cen) ** 2, axis=0),
+                jnp.sum((p9[6:9] - cen) ** 2, axis=0),
+            ),
+        )
+    )
+
+    def body(c_chunk):
+        dx = c_chunk[:, 0][:, None] - cen[0][None, :]
+        dy = c_chunk[:, 1][:, None] - cen[1][None, :]
+        dz = c_chunk[:, 2][:, None] - cen[2][None, :]
+        d = jnp.sqrt(dx * dx + dy * dy + dz * dz) - rad[None, :]
+        d = jnp.maximum(d, 0.0)
+        return jnp.min(d.reshape(chunk, B, Tp // B), axis=2)
+
+    return jax.lax.map(body, c_pad.reshape(-1, chunk, 3)).reshape(-1, B)[
+        :n_sub
+    ]
+
+
+def _phase_a_topk(centers, r_s, bi: BlockIndex, *, kg: int):
+    """Per-sub-tile ``kg`` nearest blocks + excluded lower bound.
+
+    The phase-A front end of the gathered dense engine
+    (culling._culled_gather_signed_impl). Returns (idx (n_sub, kg) int32,
+    pad id = B for slots beyond the sub-tile's within-bound count;
+    lb_excl (n_sub,) f32 — a true lower bound on d(center, tri) over every
+    triangle of every NON-selected block). Small meshes rank all blocks by
+    the fine csphere bound; large ones go coarse (block-AABB box distance)
+    → fine over a ``max(kg+1, HIER_C)`` window (≙ R-tree descent,
+    `bvh_ext.rs:102-168`). Selection can only under-include (window
+    overflow near surfaces) — then ``lb_excl`` shrinks and the caller's
+    per-query certificate flags affected queries for dense recompute.
+    """
+    B = bi.n_blocks
+    n_sub = centers.shape[0]
+    if B <= kg:
+        idx = jnp.broadcast_to(
+            jnp.arange(kg, dtype=jnp.int32)[None, :], (n_sub, kg)
+        )
+        idx = jnp.where(idx < B, idx, B)
+        return idx, jnp.full((n_sub,), F32_MAX, jnp.float32)
+
+    c_win = max(kg + 1, HIER_C)
+    if B > 2 * c_win:
+        lb_s, idx_s, lb_rest = _phase_a_hier(centers, bi, c=c_win)
+    else:
+        lb = _phase_a_flat_lb(centers, bi)
+        m = min(B, c_win)
+        neg, idx_s = jax.lax.top_k(-lb, m)
+        lb_s = -neg
+        lb_rest = (
+            -jax.lax.top_k(-lb, m + 1)[0][:, m]
+            if m < B else jnp.full((n_sub,), F32_MAX, jnp.float32)
+        )
+    m = lb_s.shape[1]
+
+    dmin = lb_s[:, 0]
+    bound = dmin + 2.0 * r_s
+    n_within = jnp.sum(lb_s <= bound[:, None], axis=1)
+    n_keep = jnp.maximum(jnp.minimum(n_within, kg), 1)
+    keep = jnp.arange(kg)[None, :] < n_keep[:, None]
+    idx_kg = jnp.where(keep, idx_s[:, :kg].astype(jnp.int32), B)
+    # First excluded IN-window bound (position n_keep, or none when the
+    # whole window is kept), floored by the out-of-window bound.
+    in_win = jnp.where(
+        n_keep >= m,
+        F32_MAX,
+        jnp.take_along_axis(
+            lb_s, jnp.minimum(n_keep, m - 1)[:, None], axis=1
+        )[:, 0],
+    )
+    lb_excl = jnp.minimum(in_win, lb_rest)
+    return idx_kg, lb_excl
+
+
 @functools.partial(
     jax.jit, static_argnames=("nb_sub", "st", "qt", "nb_table")
 )
