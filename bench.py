@@ -133,15 +133,11 @@ def main():
     # time against TPU v5e VPU-fp32 / HBM peaks (utils/roofline.py).
     try:
         from mesh_to_sdf_tpu import gridgen
-        from mesh_to_sdf_tpu.ops import cpt as cpt_mod
         from mesh_to_sdf_tpu.utils import roofline
 
         prep = list(gridgen._CPT_PREP_CACHE.values())[-1]
         _, seed_bins, line_bins = prep
-        model = roofline.grid_total_flops(
-            n**3, seed_bins, line_bins,
-            slot2_center=cpt_mod.SLOT2_CENTER,
-        )
+        model = roofline.grid_total_flops(n**3, seed_bins, line_bins)
         extra["roofline_primary_grid"] = roofline.account(med, **model)
     except Exception as e:  # noqa: BLE001
         extra["roofline_primary_grid"] = f"error: {type(e).__name__}: {e}"

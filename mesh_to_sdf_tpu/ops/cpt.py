@@ -53,19 +53,6 @@ SEED_SPAN = 4
 #: Vertex sentinel for "no triangle" (distance recompute yields ~1e36).
 PAD_COORD = 1.0e18
 
-#: Sweep candidate schedule: when True the runner-up (slot-2) carry only
-#: contributes its CENTER window candidate — 10 exact point-triangle
-#: evaluations per cell per sweep instead of 18 (the sweep is
-#: VPU-compute-bound on TPU, so ~1.8× less sweep compute; transverse
-#: runner-up flow still happens via slot-1 demotion in the merge).
-#: Default OFF: measured far-field quality impact is configuration-
-#: dependent — ≤7e-4 relative on a cubic 24³ icosphere but up to ~1%
-#: relative on non-cubic grids (tests/test_grid_sharded.py setups), and
-#: the ≤2% far-field contract on the reference assets has little headroom
-#: (knight@24³ sits near the bound). Shared by the XLA scan engine and
-#: the Pallas kernel so the two stay schedule-identical twins either way.
-SLOT2_CENTER = False
-
 
 class CptState(NamedTuple):
     """Per-cell best + runner-up (distinct triangle) closest-point state."""
@@ -531,16 +518,14 @@ def seed_from_bins(grid: Grid, ta, tb, tc, bins: SeedBins):
     return out_d1, out_i1, out_d2, out_i2
 
 
-def _sweep_axis0(state: CptState, centers,
-                 slot2_center: bool = None) -> CptState:
+def _sweep_axis0(state: CptState, centers) -> CptState:
     """One forward sweep along axis 0 (flips/transposes cover the rest).
 
-    ``slot2_center`` (default: module :data:`SLOT2_CENTER`): reduced
-    runner-up candidate window — pass ``False`` for the full 18-candidate
-    schedule (the sharded halo re-sweeps do; repair quality there matters
-    more than the eval cut)."""
-    if slot2_center is None:
-        slot2_center = SLOT2_CENTER
+    Full 18-candidate schedule (best + runner-up from all 9 neighbor
+    columns). A reduced runner-up window (``slot2_center``, round 3/4)
+    measured ~0.04 s faster at 256³ but cost up to ~1% extra far-field
+    relative error — half the ≤2% CPT contract's headroom — and was
+    dropped (.campaign/phase256.log, ROADMAP.md)."""
 
     def step(carry: CptState, xs):
         row, centers_row = xs
@@ -556,9 +541,8 @@ def _sweep_axis0(state: CptState, centers,
             for dz in (0, 1, 2):
                 cv.append(pv1[dy : dy + n1, dz : dz + n2])
                 ci.append(pi1[dy : dy + n1, dz : dz + n2])
-                if (not slot2_center) or (dy == 1 and dz == 1):
-                    cv.append(pv2[dy : dy + n1, dz : dz + n2])
-                    ci.append(pi2[dy : dy + n1, dz : dz + n2])
+                cv.append(pv2[dy : dy + n1, dz : dz + n2])
+                ci.append(pi2[dy : dy + n1, dz : dz + n2])
         cv = jnp.stack(cv)
         ci = jnp.stack(ci)
         d = geometry.point_triangle_distance(
@@ -608,8 +592,7 @@ def _unorient(vol, axis, reverse, ch=False):
 _DIRS = [(axis, rev) for axis in (0, 1, 2) for rev in (False, True)]
 
 
-def _sweep_batched(state: CptState, centers,
-                   slot2_center: bool = None) -> CptState:
+def _sweep_batched(state: CptState, centers) -> CptState:
     """All 6 directional sweeps in ONE lax.scan (batched Jacobi step).
 
     Cuts sequential step count 6x vs running the sweeps one after another —
@@ -618,8 +601,6 @@ def _sweep_batched(state: CptState, centers,
     merged afterwards. Two batched rounds reach the sequential fixed point
     (asserted in tests).
     """
-    if slot2_center is None:
-        slot2_center = SLOT2_CENTER
     # Only cubic grids can batch all 6 views into one scan (equal axis
     # lengths). Non-cubic grids fall back to sequential sweeps.
     views = []
@@ -668,10 +649,9 @@ def _sweep_batched(state: CptState, centers,
             for dz in (0, 1, 2):
                 cv.append(pv1[:, dy : dy + n1, dz : dz + n2])
                 ci.append(pi1[:, dy : dy + n1, dz : dz + n2])
-                if (not slot2_center) or (dy == 1 and dz == 1):
-                    cv.append(pv2[:, dy : dy + n1, dz : dz + n2])
-                    ci.append(pi2[:, dy : dy + n1, dz : dz + n2])
-        cv = jnp.stack(cv)  # (10 or 18, 6, n1, n2, 9)
+                cv.append(pv2[:, dy : dy + n1, dz : dz + n2])
+                ci.append(pi2[:, dy : dy + n1, dz : dz + n2])
+        cv = jnp.stack(cv)  # (18, 6, n1, n2, 9)
         ci = jnp.stack(ci)
         d = geometry.point_triangle_distance(
             centers_row[None], cv[..., 0:3], cv[..., 3:6], cv[..., 6:9]
@@ -721,7 +701,7 @@ def _sweep_batched(state: CptState, centers,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rounds", "span", "slot2_center")
+    jax.jit, static_argnames=("rounds", "span")
 )
 def closest_point_grid(
     grid: Grid,
@@ -732,7 +712,6 @@ def closest_point_grid(
     rounds: int = 1,
     span: int = SEED_SPAN,
     seed=None,  # optional precomputed (d1, i1, d2, i2) flat seeds
-    slot2_center: bool = SLOT2_CENTER,
 ) -> Tuple[jax.Array, jax.Array]:
     """Unsigned distance + nearest-triangle index for every cell.
 
@@ -765,7 +744,7 @@ def closest_point_grid(
         # Batched Jacobi sweeps: 6 directions per scan; two batched rounds
         # reach the sequential fixed point (validated in tests).
         for _ in range(rounds + 1):
-            state = _sweep_batched(state, centers, slot2_center=slot2_center)
+            state = _sweep_batched(state, centers)
     else:
         for _ in range(rounds):
             for axis in (0, 1, 2):
@@ -782,9 +761,7 @@ def closest_point_grid(
                         else:
                             inv = ip
                     c0, _ = _oriented(centers, axis, reverse, ch=True)
-                    out = _sweep_axis0(
-                        CptState(*fields), c0, slot2_center=slot2_center
-                    )
+                    out = _sweep_axis0(CptState(*fields), c0)
                     res = []
                     for name in out._fields:
                         vol = getattr(out, name)
@@ -849,10 +826,7 @@ def subdivide_to_span(vertices, faces, max_edge: float, max_tris: int = 4_000_00
 # =====================================================================
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "rounds", "span", "seed_runner_up", "interpret", "squared",
-        "slot2_center",
-    ),
+    static_argnames=("rounds", "span", "seed_runner_up", "interpret"),
 )
 def closest_point_grid_pallas(
     grid: Grid,
@@ -865,8 +839,6 @@ def closest_point_grid_pallas(
     seed_runner_up: bool = True,
     seed=None,  # optional precomputed (d1, i1, d2, i2) flat seeds
     interpret: bool = False,
-    squared: bool = False,
-    slot2_center: bool = SLOT2_CENTER,
 ) -> Tuple[jax.Array, jax.Array]:
     """:func:`closest_point_grid` with the sweeps as Pallas kernels.
 
@@ -887,13 +859,6 @@ def closest_point_grid_pallas(
     d1, i1, d2, i2 = seed if seed is not None else _seed(
         grid, ta, tb, tc, span, runner_up=seed_runner_up
     )
-
-    if squared:
-        # Sweeps merge in d²-space (ordering-identical, one sqrt per cell
-        # at the end instead of one per candidate evaluation — the sweep
-        # is VPU-compute-bound). F32_MAX sentinels stay F32_MAX.
-        d1 = jnp.minimum(d1 * d1, F32_MAX)
-        d2 = jnp.minimum(d2 * d2, F32_MAX)
 
     tv = jnp.concatenate([ta, tb, tc], axis=-1)
     tv = jnp.concatenate([tv, jnp.full((1, 9), PAD_COORD, jnp.float32)], axis=0)
@@ -938,7 +903,6 @@ def closest_point_grid_pallas(
                 state = pallas_sweep.sweep_oriented(
                     *state, rev, fc, cs,
                     comp0=c0, comp1=c1, comp2=c2, interpret=interpret,
-                    squared=squared, slot2_center=slot2_center,
                 )
             if axis != 0:
                 state = (
@@ -949,8 +913,7 @@ def closest_point_grid_pallas(
                     jnp.transpose(state[4], inv4[axis]),
                     jnp.transpose(state[5], inv3[axis]),
                 )
-    d_out = jnp.sqrt(state[0]) if squared else state[0]
-    return d_out, state[2]
+    return state[0], state[2]
 
 
 def normal_sign_from_idx(grid: Grid, ta, tb, tc, dist, idx):

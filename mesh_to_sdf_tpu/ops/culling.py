@@ -34,6 +34,11 @@ from .keyed import combine_champions
 DEFAULT_K = 512
 #: Candidate-block budget per sub-tile for the gathered dense engine.
 DEFAULT_KG = 32
+#: Widened budget for the second gather round over certificate-flagged
+#: queries (the R-tree descent's frontier expansion, `bvh_ext.rs:102-168`):
+#: a sub-tile whose within-bound block count exceeds DEFAULT_KG re-runs at
+#: this budget before any dense fallback.
+DEFAULT_KG_WIDE = 128
 
 
 def select_candidates(tile_centers, tile_radius, ta, tb, tc, valid, k):
@@ -151,8 +156,11 @@ def query_sdf_culled(queries, ta, tb, tc, valid, *, sign_method, raycast_axes=3,
         engine = _os.environ.get("M2S_CULLED_ENGINE", "gather")
         Q = queries.shape[0]
         if st is None:
+            # Gather engine: measured on FlightHelmet (scripts/
+            # exp_culled_phase.py) — st=32 fastest for criterion-sized
+            # batches, st=64 for ≥262k (flag counts are st-insensitive).
             st = (64 if Q >= 262_144 else 16) if engine == "union" else (
-                16 if Q <= 131_072 else 32
+                32 if Q < 262_144 else 64
             )
         kg = DEFAULT_KG
         qt = pallas_culled.DEFAULT_QT
@@ -595,9 +603,29 @@ def _culled_signed_fixup_impl(queries, bi, inside3, grid, ra, rb, rc, *,
     from .kernels import pallas_sdf
 
     if engine == "gather":
+        Qg = queries.shape[0]
         signed, flag, work_frac = _culled_gather_signed_impl(
             queries, bi, inside3, grid, st=st, kg=kg, interpret=interpret,
         )
+        # WIDEN before the dense fallback: flagged queries (mostly sub-
+        # tiles whose within-bound block count exceeded ``kg`` — far-field
+        # shells legitimately graze many blocks) re-run through the SAME
+        # gather engine at DEFAULT_KG_WIDE. ≙ the R-tree descent widening
+        # its frontier until the bound certifies (`bvh_ext.rs:102-168`);
+        # measured flag rates of 25-30% drop to the few near-degenerate
+        # queries the dense fix-up below absorbs.
+        k_wide = min(max(16_384, Qg // 3), 393_216)
+        idxw = jnp.nonzero(flag, size=k_wide, fill_value=Qg)[0]
+        subw = queries[jnp.minimum(idxw, Qg - 1)]
+        s2, f2, _ = _culled_gather_signed_impl(
+            subw, bi, inside3, grid, st=16, kg=DEFAULT_KG_WIDE,
+            interpret=interpret,
+        )
+        signed = signed.at[idxw].set(s2, mode="drop")
+        rank = jnp.cumsum(flag)
+        widened = flag & (rank <= k_wide)
+        newf = jnp.zeros_like(flag).at[idxw].set(f2, mode="drop")
+        flag = jnp.where(widened, newf, flag)
     else:
         signed, flag, work_frac = _culled_blocks_signed_impl(
             queries, bi, inside3, grid, qt=qt, st=st, nb_sub=nb_sub,

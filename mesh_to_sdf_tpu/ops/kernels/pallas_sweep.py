@@ -150,7 +150,6 @@ def _sweep_kernel(
     # sentinel rows top+bottom — (2, n1+2·_MARGIN, n2) / (2, 9, ·, ·)
     sd1, sv1, si1, sd2, sv2, si2,
     *, comp0: int, comp1: int, comp2: int, n0: int, n1: int, n1t: int,
-    squared: bool, slot2_center: bool,
 ):
     """comp0/1/2: which world coordinate (0=x,1=y,2=z) varies along the
     sweep axis / plane rows / plane cols.
@@ -229,23 +228,20 @@ def _sweep_kernel(
             mask = mask[None]
         return jnp.where(mask, pad_val, rolled)
 
-    dist = _pt_dist2 if squared else _pt_dist
     for dy in (0, 1, 2):
-        # slot2_center: the runner-up carry only contributes its CENTER
-        # candidate (transverse runner-up flow still happens via slot-1
-        # demotion in _merge2) — 10 exact evaluations per cell instead
-        # of 18; the sweep is VPU-compute-bound.
-        rowsets = [(row_strip(sv1, dy), row_strip(si1, dy))]
-        if not slot2_center:
-            rowsets.append((row_strip(sv2, dy), row_strip(si2, dy)))
+        # Full 18-candidate schedule (best + runner-up from every neighbor
+        # column). The reduced runner-up window (slot2_center, rounds 3/4)
+        # measured ~0.04 s faster at 256³ but cost up to ~1% extra
+        # far-field relative error — dropped (.campaign/phase256.log).
+        rowsets = [
+            (row_strip(sv1, dy), row_strip(si1, dy)),
+            (row_strip(sv2, dy), row_strip(si2, dy)),
+        ]
         for dz in (0, 1, 2):
-            sets = rowsets
-            if slot2_center and dy == 1 and dz == 1:
-                sets = rowsets + [(row_strip(sv2, dy), row_strip(si2, dy))]
-            for (vrow, irow) in sets:
+            for (vrow, irow) in rowsets:
                 vcand = col_shift(vrow, dz, PAD_COORD)
                 icand = col_shift(irow, dz, -1)
-                dcand = dist(cx, cy, cz, vcand)
+                dcand = _pt_dist(cx, cy, cz, vcand)
                 d1, v1, i1, d2, v2, i2 = _merge2(
                     d1, v1, i1, d2, v2, i2, dcand, vcand, icand
                 )
@@ -268,10 +264,7 @@ def _sweep_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "reverse", "comp0", "comp1", "comp2", "interpret", "squared",
-        "slot2_center",
-    ),
+    static_argnames=("reverse", "comp0", "comp1", "comp2", "interpret"),
 )
 def sweep_oriented(
     d1, v1, i1, d2, v2, i2,  # volumes (n0, n1, n2) / (n0, 9, n1, n2)
@@ -281,8 +274,6 @@ def sweep_oriented(
     *,
     comp0: int, comp1: int, comp2: int,
     interpret: bool = False,
-    squared: bool = False,  # d1/d2 volumes hold SQUARED distances
-    slot2_center: bool = False,  # runner-up carry: center candidate only
 ):
     """One directional sweep over volumes laid out sweep-axis-first.
 
@@ -324,7 +315,7 @@ def sweep_oriented(
     out = pl.pallas_call(
         functools.partial(
             _sweep_kernel, comp0=comp0, comp1=comp1, comp2=comp2, n0=n0,
-            n1=n1, n1t=n1t, squared=squared, slot2_center=slot2_center,
+            n1=n1, n1t=n1t,
         ),
         grid=(n0, n_strips),
         in_specs=[smem] * 7 + [b3, b4, b3, b3, b4, b3],

@@ -63,9 +63,9 @@ def _merge_boundary(state: cpt_mod.CptState, nb, position: int, centers):
 def _x_sweeps(state, centers):
     """±x sweeps only (local)."""
     # Full candidate window for halo repair (see _x_sweeps_pallas).
-    out = cpt_mod._sweep_axis0(state, centers, slot2_center=False)
+    out = cpt_mod._sweep_axis0(state, centers)
     rev = cpt_mod.CptState(*[getattr(out, n)[::-1] for n in out._fields])
-    rev = cpt_mod._sweep_axis0(rev, centers[::-1], slot2_center=False)
+    rev = cpt_mod._sweep_axis0(rev, centers[::-1])
     return cpt_mod.CptState(*[getattr(rev, n)[::-1] for n in rev._fields])
 
 
@@ -80,7 +80,7 @@ def _x_sweeps_pallas(state: cpt_mod.CptState, slab: Grid):
         state.d1, jnp.transpose(state.v1, (0, 3, 1, 2)), state.i1,
         state.d2, jnp.transpose(state.v2, (0, 3, 1, 2)), state.i2,
     )
-    # Full candidate window (slot2_center=False): halo re-sweeps are a few
+    # Halo re-sweeps are a few
     # slices — the repair quality matters more than the 1.8× eval cut.
     for rev in (False, True):
         tup = pallas_sweep.sweep_oriented(
@@ -160,18 +160,18 @@ def generate_grid_sdf_sharded_cpt(
                 seed_entry[0], seed_rows[0], seed_cellrow[0], seed_rounds
             ),
         )
-        # Full candidate window per slab (slot2_center=False): slab-local
+        # Slab-local
         # sweeps + halo exchange already see less propagation than global
         # sweeps — the reduced runner-up schedule on top pushes far-field
         # divergence from the single-device engine past the 3e-3
         # consistency budget (tests/test_grid_sharded.py).
         if use_pallas:
             dist, tri_idx = cpt_mod.closest_point_grid_pallas(
-                slab, ta, tb, tc, seed=seed, slot2_center=False
+                slab, ta, tb, tc, seed=seed
             )
         else:
             dist, tri_idx = cpt_mod.closest_point_grid(
-                slab, ta, tb, tc, seed=seed, slot2_center=False
+                slab, ta, tb, tc, seed=seed
             )
 
         # Rebuild the full CPT state for halo exchange: re-seed + re-derive

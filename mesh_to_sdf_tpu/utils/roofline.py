@@ -27,7 +27,7 @@ Flop models (documented estimates, derived from the kernel structure):
   test, ~30 flops per (line, triangle) pair per axis; the binned parity
   kernel adds ~10 flops/pair of bucket-extraction arithmetic.
 * CPT sweep (`ops/kernels/pallas_sweep.py`): per cell per directional
-  sweep, 2 carried + 9 slot-1 + {9 full | 1 slot2_center} slot-2 candidate
+  sweep, 2 carried + 9 slot-1 + 9 slot-2 candidate
   evaluations, each one ladder eval, plus the top-2-distinct keyed merge
   (~8 flops/candidate).
 
@@ -100,10 +100,10 @@ def pairs_query_flops(n_queries: int, n_tris: int, raycast_axes: int = 3,
     return {"flops": flops, "hbm_bytes": hbm, "pairs": pairs}
 
 
-def cpt_sweep_flops(n_cells: int, slot2_center: bool, rounds: int = 1,
+def cpt_sweep_flops(n_cells: int, rounds: int = 1,
                     n_sweeps_per_round: int = 6) -> dict:
     """CPT directional sweeps (see module docstring for the model)."""
-    cands = 2 + 9 + (1 if slot2_center else 9)
+    cands = 2 + 9 + 9
     per_cell = cands * (FLOPS_LADDER_PAIR + FLOPS_MERGE_CAND)
     sweeps = rounds * n_sweeps_per_round
     flops = float(n_cells) * per_cell * sweeps
@@ -142,13 +142,13 @@ def parity_binned_flops(line_bins_3, lines_per_tile: int = 1024) -> dict:
 
 
 def grid_total_flops(n_cells: int, seed_bins=None, line_bins_3=None,
-                     slot2_center: bool = False, rounds: int = 1) -> dict:
+                     rounds: int = 1) -> dict:
     """End-to-end generate_grid_sdf (raycast) model: seeds + sweeps +
     parity. Missing structures contribute zero (their phase is then
     excluded from the roof — noted by the caller)."""
     total_f = 0.0
     total_b = 0.0
-    sw = cpt_sweep_flops(n_cells, slot2_center, rounds)
+    sw = cpt_sweep_flops(n_cells, rounds)
     total_f += sw["flops"]
     total_b += sw["hbm_bytes"]
     if seed_bins is not None:

@@ -168,6 +168,26 @@ for name, q in WORKLOADS.items():
 
     res["t_full_path"] = round(timeit(full), 4)
 
+    # Gathered dense engine (per-sub-tile candidates), several (st, kg).
+    for stg in (16, 32, 64):
+        for kg in (16, 32):
+            def gather():
+                s, f, wf = culling._culled_gather_signed_impl(
+                    q, bi, sg.inside, sg.grid, st=stg, kg=kg,
+                    interpret=False,
+                )
+                jax.block_until_ready(s)
+                return s, f, wf
+
+            s_, f_, wf_ = gather()
+            t = timeit(lambda: gather())
+            res[f"gather_st{stg}_kg{kg}"] = {
+                "t": round(t, 4),
+                "qps": round(Q / t, 1),
+                "n_flag": int(jnp.sum(f_)),
+                "work_frac": round(float(wf_), 4),
+            }
+
     def brute_f():
         d = pallas_sdf.sdf_raycast_pallas(
             q, ta[:n], tb[:n], tc[:n], raycast_axes=3

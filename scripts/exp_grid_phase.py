@@ -1,5 +1,4 @@
-"""256^3 grid phase breakdown on TPU: seeds / sweeps / parity, and the
-slot2_center sweep-schedule comparison (r3)."""
+"""256^3 grid phase breakdown on TPU: seeds / sweeps / parity."""
 import os
 import sys
 import time
@@ -63,20 +62,19 @@ m = roofline.cpt_seed_flops(bins)
 print(f"seed (device): {t_seed:.3f}s pairs={m['pairs']:.3g} "
       f"{roofline.account(t_seed, m['flops'], m['hbm_bytes'])}", flush=True)
 
-for s2c in (False, True):
-    def run_sweeps(s2c=s2c):
-        d, i = cpt_mod.closest_point_grid_pallas(
-            grid, ta, tb, tc, seed=seed, slot2_center=s2c, interpret=INTERP
-        )
-        float(jnp.sum(d))
-        return d
+def run_sweeps():
+    d, i = cpt_mod.closest_point_grid_pallas(
+        grid, ta, tb, tc, seed=seed, interpret=INTERP
+    )
+    float(jnp.sum(d))
+    return d
 
-    t = timeit(run_sweeps)
-    ms = roofline.cpt_sweep_flops(N**3, s2c)
-    print(f"seed-eval+sweeps slot2_center={s2c}: {t:.3f}s "
-          f"(sweeps-only ~{t - t_seed:.3f}s) "
-          f"{roofline.account(max(t - t_seed, 1e-9), ms['flops'], ms['hbm_bytes'])}",
-          flush=True)
+t = timeit(run_sweeps)
+ms = roofline.cpt_sweep_flops(N**3)
+print(f"seed-eval+sweeps: {t:.3f}s "
+      f"(sweeps-only ~{t - t_seed:.3f}s) "
+      f"{roofline.account(max(t - t_seed, 1e-9), ms['flops'], ms['hbm_bytes'])}",
+      flush=True)
 
 
 # Parity phase: dense vs binned kernels.

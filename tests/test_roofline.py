@@ -32,14 +32,12 @@ def test_query_pairs_model_padding():
     assert m["flops"] > m["pairs"] * 80
 
 
-def test_sweep_model_slot2_cuts_evals():
-    full = roofline.cpt_sweep_flops(10**6, slot2_center=False)
-    cut = roofline.cpt_sweep_flops(10**6, slot2_center=True)
-    assert full["evals_per_cell"] == 20 * 6
-    assert cut["evals_per_cell"] == 12 * 6
-    assert cut["flops"] < full["flops"]
-    # HBM model is schedule-independent (same state traffic).
-    assert cut["hbm_bytes"] == full["hbm_bytes"]
+def test_sweep_model_scales_with_rounds():
+    one = roofline.cpt_sweep_flops(10**6)
+    two = roofline.cpt_sweep_flops(10**6, rounds=2)
+    assert one["evals_per_cell"] == 20 * 6
+    assert two["flops"] == 2 * one["flops"]
+    assert two["hbm_bytes"] == 2 * one["hbm_bytes"]
 
 
 def test_grid_total_counts_from_real_structures():
@@ -61,7 +59,7 @@ def test_grid_total_counts_from_real_structures():
         pallas_parity.build_line_bins(grid, ax, ta, tb, tc)
         for ax in range(3)
     )
-    m = roofline.grid_total_flops(8**3, bins, lbs, slot2_center=True)
+    m = roofline.grid_total_flops(8**3, bins, lbs)
     assert m["flops"] > 0 and m["hbm_bytes"] > 0
     acct = roofline.account(0.01, **m)
     assert set(acct) >= {"achieved_gflops", "pct_vpu_fp32_peak", "bound"}
