@@ -291,11 +291,15 @@ def test_block_culled_kernel_matches_brute(big_sphere, rng):
     )
 
 
-def test_query_culled_block_path_end_to_end(big_sphere, rng):
+@pytest.mark.parametrize("engine", ["gather", "union"])
+def test_query_culled_block_path_end_to_end(big_sphere, rng, engine,
+                                            monkeypatch):
     """query_sdf_culled with a block index == the exact engine (overflowed
-    tiles recomputed densely; sign via grid transfer)."""
+    tiles recomputed densely; sign via grid transfer) — both the gathered
+    per-sub-tile engine (default) and the per-tile-union kernel path."""
     from mesh_to_sdf_tpu.ops.kernels import pallas_culled
 
+    monkeypatch.setenv("M2S_CULLED_ENGINE", engine)
     verts, faces = big_sphere
     ta, tb, tc, valid, n = _tris(verts, faces)
     bi = pallas_culled.build_block_index(
