@@ -252,8 +252,44 @@ def main():
             out["knight_grid_100^3_cells_per_s_1core"] = r["cells_per_s"]
         return out
 
+    # BASELINE config-5 scale on ONE chip (VERDICT r3 #4): a ~1.3M-triangle
+    # procedural mesh through CULLED scattered queries — 13.8× the
+    # reference's largest criterion mesh (94,722 tris,
+    # `benches/generate_sdf.rs:216-236`). Reports the certificate flag
+    # rate (exactness telemetry) and the measured 1-core multiplier on the
+    # same workload (100k-query subsample through the C++ baseline).
+    def tris_1m_scattered():
+        from mesh_to_sdf_tpu.ops import culling
+        from mesh_to_sdf_tpu.utils import baseline as bl
+
+        mv, mf = icosphere(subdiv=8)  # 1,310,720 triangles
+        mtopo = Topology.triangle_list(mf.reshape(-1))
+        rng = np.random.default_rng(2)
+        q = rng.uniform(-1.3, 1.3, (1_000_000, 3)).astype(np.float32)
+
+        def f():
+            d = generate_sdf(mv, mtopo, q, Strategy.CULLED,
+                             sign_method=SignMethod.RAYCAST)
+            float(jax.numpy.sum(d))
+
+        t = _timeit(f, 3)
+        out = {
+            "tris": int(len(mf)),
+            "queries_per_s": round(len(q) / t, 1),
+            "culled_stats": dict(culling.LAST_CULLED_STATS),
+        }
+        if bl.available(build=True):
+            tri = (mv[mf[:, 0]], mv[mf[:, 1]], mv[mf[:, 2]])
+            r = bl.run_query(*tri, q[:100_000])
+            out["qps_1core_measured"] = r["queries_per_s"]
+            out["vs_rtree_bvh_1core_measured"] = round(
+                out["queries_per_s"] / r["queries_per_s"], 2
+            )
+        return out
+
     if not quick:
         guarded("queries_per_s_1M_20k_pallas", q_1m)
+        guarded("sdf_1.3M_tris_1M_scattered_culled", tris_1m_scattered)
         guarded("streamed_grid_512^3_raycast", streamed_512)
         guarded("baseline_1core_measured", measured_baseline)
 

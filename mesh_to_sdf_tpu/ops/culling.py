@@ -40,6 +40,11 @@ DEFAULT_KG = 32
 #: this budget before any dense fallback.
 DEFAULT_KG_WIDE = 128
 
+#: Telemetry from the most recent fused CULLED pass (certificate flag
+#: count, culled-work fraction, config) — the query-path analog of the
+#: client's LastRunInfo (`sdf_program.rs:716-719`). Read-only for callers.
+LAST_CULLED_STATS: dict = {}
+
 
 def select_candidates(tile_centers, tile_radius, ta, tb, tc, valid, k):
     """Phase A: top-k nearest triangles per tile + exactness telemetry.
@@ -171,7 +176,12 @@ def query_sdf_culled(queries, ta, tb, tc, valid, *, sign_method, raycast_axes=3,
         n_qt = -(-Q // qt)
         nb_table = max(min(nb_table, (2**20 // 4) // max(n_qt, 1) - 8), 16)
         interp = jax.default_backend() != "tpu"
-        k_fix = min(max(4096, Q // 32), 65_536)
+        # The in-jit dense fix-up runs UNCONDITIONALLY at k_fix queries
+        # (static shape): cap its pair budget (k_fix·T) so the always-paid
+        # subset stays a few percent of the kernel work even at millions of
+        # triangles (the widen round leaves only a residue of flags).
+        k_fix = min(max(4096, Q // 32), 65_536,
+                    max(4096, int(6e9) // max(n_valid, 1)))
         signed, n_flag, work_frac = _culled_signed_fixup_impl(
             queries, block_index, sign_grid.inside, sign_grid.grid,
             ta[:n_valid], tb[:n_valid], tc[:n_valid],
@@ -183,6 +193,14 @@ def query_sdf_culled(queries, ta, tb, tc, valid, *, sign_method, raycast_axes=3,
         if default_cfg:
             _record_route(block_index, Q, float(work_frac), st=st,
                           k_fix_frac=k_fix / max(Q, 1))
+        # Telemetry for benchmarks/observability (≙ the client's
+        # LastRunInfo, `sdf_program.rs:716-719`): certificate flag count,
+        # culled-work fraction, and the shapes that produced them.
+        LAST_CULLED_STATS.update(
+            queries=int(Q), tris=int(n_valid), engine=engine,
+            n_flagged=int(n_flag), flag_frac=round(int(n_flag) / max(Q, 1), 5),
+            work_frac=round(float(work_frac), 5), k_fix=int(k_fix), st=int(st),
+        )
         if int(n_flag) > k_fix:
             # Budget blown (pathological distribution): redo ALL flagged
             # queries host-side — exactness never depends on k_fix.

@@ -309,16 +309,25 @@ def _phase_a_topk(centers, r_s, bi: BlockIndex, *, kg: int):
     """Per-sub-tile ``kg`` nearest blocks + excluded lower bound.
 
     The phase-A front end of the gathered dense engine
-    (culling._culled_gather_signed_impl). Returns (idx (n_sub, kg) int32,
-    pad id = B for slots beyond the sub-tile's within-bound count;
+    (culling._culled_gather_signed_impl). Returns (idx (n_sub, kg) int32;
     lb_excl (n_sub,) f32 — a true lower bound on d(center, tri) over every
     triangle of every NON-selected block). Small meshes rank all blocks by
     the fine csphere bound; large ones go coarse (block-AABB box distance)
     → fine over a ``max(kg+1, HIER_C)`` window (≙ R-tree descent,
-    `bvh_ext.rs:102-168`). Selection can only under-include (window
-    overflow near surfaces) — then ``lb_excl`` shrinks and the caller's
-    per-query certificate flags affected queries for dense recompute.
+    `bvh_ext.rs:102-168`).
+
+    The window is always FILLED: all ``kg`` nearest blocks are kept, not
+    just those within ``dmin + 2·r_s``. The dense body's cost is static
+    (kg·tb pairs per query either way — unused slots would evaluate the
+    pad block), so keeping fewer blocks can only weaken BOTH the distance
+    (fewer candidates) and the certificate (``lb_excl`` collapses to the
+    bound edge — measured 27% round-1 flag rate on scattered_1M, r_s-slack
+    marginal exactly where block distances cluster within the Morton-tile
+    radius). ``r_s`` is unused now but kept in the signature: the
+    certificate slack it describes is applied by the CALLER per query
+    (``cert = lb_excl − |q − c_s|``).
     """
+    del r_s
     B = bi.n_blocks
     n_sub = centers.shape[0]
     if B <= kg:
@@ -342,22 +351,10 @@ def _phase_a_topk(centers, r_s, bi: BlockIndex, *, kg: int):
         )
     m = lb_s.shape[1]
 
-    dmin = lb_s[:, 0]
-    bound = dmin + 2.0 * r_s
-    n_within = jnp.sum(lb_s <= bound[:, None], axis=1)
-    n_keep = jnp.maximum(jnp.minimum(n_within, kg), 1)
-    keep = jnp.arange(kg)[None, :] < n_keep[:, None]
-    idx_kg = jnp.where(keep, idx_s[:, :kg].astype(jnp.int32), B)
-    # First excluded IN-window bound (position n_keep, or none when the
-    # whole window is kept), floored by the out-of-window bound.
-    in_win = jnp.where(
-        n_keep >= m,
-        F32_MAX,
-        jnp.take_along_axis(
-            lb_s, jnp.minimum(n_keep, m - 1)[:, None], axis=1
-        )[:, 0],
-    )
-    lb_excl = jnp.minimum(in_win, lb_rest)
+    idx_kg = idx_s[:, :kg].astype(jnp.int32)
+    # First excluded bound: the (kg+1)-th in-window bound, floored by the
+    # out-of-window bound (kg < m always, since m = max(kg+1, HIER_C)).
+    lb_excl = jnp.minimum(lb_s[:, kg], lb_rest)
     return idx_kg, lb_excl
 
 
